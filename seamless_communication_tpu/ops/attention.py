@@ -1,0 +1,241 @@
+"""Multi-head attention ops: vanilla SDPA, Shaw clipped relative-position attention
+(SeamlessM4T v2 speech encoder), and Transformer-XL u/v-bias relative attention
+(v1 w2v-BERT speech encoder), plus a KV-cached single-step decode path.
+
+Reference semantics: ``ggml/examples/unity/fairseq2.cpp:399-604`` (MultiheadAttention),
+``:605-697`` (RelativePositionMHA). Conventions follow the HF checkpoint-validated
+implementations (transformers seamless_m4t / seamless_m4t_v2).
+
+All logit math is fp32; inputs/outputs keep the activation dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from seamless_communication_tpu.ops.modules import linear, linear_init
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def mha_init(key: jax.Array, dim: int, num_heads: int, *, kv_dim: Optional[int] = None,
+             bias: bool = True, dtype=jnp.float32) -> dict:
+    kv_dim = kv_dim or dim
+    ks = jax.random.split(key, 4)
+    return {
+        "q_proj": linear_init(ks[0], dim, dim, bias=bias, dtype=dtype),
+        "k_proj": linear_init(ks[1], kv_dim, dim, bias=bias, dtype=dtype),
+        "v_proj": linear_init(ks[2], kv_dim, dim, bias=bias, dtype=dtype),
+        "output_proj": linear_init(ks[3], dim, dim, bias=bias, dtype=dtype),
+    }
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, T, D) -> (B, H, T, Dh)"""
+    B, T, D = x.shape
+    return x.reshape(B, T, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, T, Dh) -> (B, T, D)"""
+    B, H, T, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+
+
+def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+          bias: Optional[jax.Array], *, extra_logits: Optional[jax.Array] = None,
+          scale: Optional[float] = None) -> jax.Array:
+    """Core scaled-dot-product attention on (B, H, T, Dh) tensors; fp32 softmax."""
+    dh = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(dh)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if extra_logits is not None:
+        logits = logits + extra_logits
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Standard MHA (self / cross)
+# ---------------------------------------------------------------------------
+
+def multi_head_attention(params: dict, q_in: jax.Array, kv_in: jax.Array,
+                         num_heads: int, *, bias: Optional[jax.Array] = None) -> jax.Array:
+    """Full-sequence MHA. ``bias`` is an additive fp32 logit mask broadcastable to
+    (B, H, Tq, Tk)."""
+    q = _split_heads(linear(params["q_proj"], q_in), num_heads)
+    k = _split_heads(linear(params["k_proj"], kv_in), num_heads)
+    v = _split_heads(linear(params["v_proj"], kv_in), num_heads)
+    out = _sdpa(q, k, v, bias)
+    return linear(params["output_proj"], _merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# KV cache (preallocated, static shape) — replaces fairseq2 IncrementalStateBag
+# (reference fairseq2.cpp:57-206).
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (B, H, T_max, Dh)
+    v: jax.Array  # (B, H, T_max, Dh)
+
+
+def kv_cache_init(batch: int, num_heads: int, max_len: int, head_dim: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (batch, num_heads, max_len, head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def self_attention_step(params: dict, x_t: jax.Array, cache: KVCache, step: jax.Array,
+                        num_heads: int) -> tuple[jax.Array, KVCache]:
+    """One decode step of causal self-attention.
+
+    ``x_t``: (B, 1, D) current-token activations; ``step``: scalar int32 index of the
+    current position. Appends K/V at ``step`` and attends over positions <= step.
+    """
+    B = x_t.shape[0]
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)       # (B,H,1,Dh)
+    k_t = _split_heads(linear(params["k_proj"], x_t), num_heads)
+    v_t = _split_heads(linear(params["v_proj"], x_t), num_heads)
+    k = jax.lax.dynamic_update_slice(cache.k, k_t.astype(cache.k.dtype), (0, 0, step, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, v_t.astype(cache.v.dtype), (0, 0, step, 0))
+    t_max = k.shape[2]
+    valid = jnp.arange(t_max)[None, None, None, :] <= step
+    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    out = _sdpa(q, k.astype(x_t.dtype), v.astype(x_t.dtype), bias)
+    return linear(params["output_proj"], _merge_heads(out)), KVCache(k, v)
+
+
+def cross_attention_precompute(params: dict, enc_out: jax.Array, num_heads: int) -> KVCache:
+    """Project encoder output to K/V once; reused every decode step
+    (fairseq2 static KV cache for encoder-decoder attention)."""
+    k = _split_heads(linear(params["k_proj"], enc_out), num_heads)
+    v = _split_heads(linear(params["v_proj"], enc_out), num_heads)
+    return KVCache(k, v)
+
+
+def cross_attention_step(params: dict, x_t: jax.Array, enc_kv: KVCache,
+                         num_heads: int, *, bias: Optional[jax.Array] = None,
+                         return_probs: bool = False):
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)
+    dh = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, enc_kv.k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) / math.sqrt(dh)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), enc_kv.v.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(x_t.dtype)
+    y = linear(params["output_proj"], _merge_heads(out))
+    if return_probs:
+        return y, probs
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Shaw clipped relative-position self-attention (v2 conformer_shaw encoder)
+# reference: models/conformer_shaw/builder.py:127-146 (max_left=64, max_right=8)
+# ---------------------------------------------------------------------------
+
+def shaw_attention_init(key: jax.Array, dim: int, num_heads: int, *, max_left: int,
+                        max_right: int, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    params = mha_init(k1, dim, num_heads, dtype=dtype)
+    head_dim = dim // num_heads
+    num_pos = max_left + max_right + 1
+    params["rel_k_embed"] = {
+        "embedding": (jax.random.normal(k2, (num_pos, head_dim), jnp.float32)
+                      * head_dim ** -0.5).astype(dtype)
+    }
+    return params
+
+
+def shaw_self_attention(params: dict, x: jax.Array, num_heads: int, *,
+                        max_left: int, max_right: int,
+                        bias: Optional[jax.Array] = None) -> jax.Array:
+    """logits[i,j] = (q_i·k_j + q_i·E[clip(j-i, -L, R) + L]) / sqrt(dh)."""
+    q = _split_heads(linear(params["q_proj"], x), num_heads)
+    k = _split_heads(linear(params["k_proj"], x), num_heads)
+    v = _split_heads(linear(params["v_proj"], x), num_heads)
+    T = x.shape[1]
+    dh = q.shape[-1]
+    rel = params["rel_k_embed"]["embedding"].astype(q.dtype)      # (P, Dh)
+    # distances j - i clipped; gather over the small P axis
+    dist = jnp.clip(jnp.arange(T)[None, :] - jnp.arange(T)[:, None], -max_left, max_right)
+    idx = dist + max_left                                          # (T, T) in [0, P)
+    rel_logits_full = jnp.einsum("bhqd,pd->bhqp", q, rel,
+                                 preferred_element_type=jnp.float32)  # (B,H,T,P)
+    rel_logits = jnp.take_along_axis(
+        rel_logits_full, idx[None, None, :, :], axis=-1)           # (B,H,T,T)
+    out = _sdpa(q, k, v, bias, extra_logits=rel_logits / math.sqrt(dh))
+    return linear(params["output_proj"], _merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# Transformer-XL u/v-bias relative attention (v1 w2v-BERT conformer)
+# reference: fairseq2.cpp:605-697; HF SeamlessM4TConformerSelfAttention.
+# ---------------------------------------------------------------------------
+
+def xl_rel_table(seq_len: int, dim: int, dtype=jnp.float32) -> jax.Array:
+    """(2*seq_len - 1, dim) interleaved sin/cos encodings of signed distance; row m
+    encodes d = (seq_len - 1) - m (positive = key left of query), matching HF
+    SeamlessM4TConformerRelPositionalEmbedding."""
+    half_ids = jnp.arange(0, dim, 2, dtype=jnp.float32)
+    inv_freq = jnp.exp(half_ids * (-math.log(10000.0) / dim))
+    d = jnp.arange(seq_len - 1, -seq_len, -1, dtype=jnp.float32)[:, None]
+    ang = d * inv_freq[None, :]
+    table = jnp.zeros((2 * seq_len - 1, dim), jnp.float32)
+    table = table.at[:, 0::2].set(jnp.sin(ang))
+    table = table.at[:, 1::2].set(jnp.cos(ang))
+    return table.astype(dtype)
+
+
+def xl_attention_init(key: jax.Array, dim: int, num_heads: int, *,
+                      dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    params = mha_init(k1, dim, num_heads, dtype=dtype)
+    head_dim = dim // num_heads
+    params["r_proj"] = linear_init(k2, dim, dim, bias=False, dtype=dtype)
+    params["u_bias"] = jnp.zeros((num_heads, head_dim), dtype)
+    params["v_bias"] = jnp.zeros((num_heads, head_dim), dtype)
+    return params
+
+
+def xl_self_attention(params: dict, x: jax.Array, num_heads: int, *,
+                      bias: Optional[jax.Array] = None) -> jax.Array:
+    """scores = ((q+u)·k^T + (q+v)·r(i-j)^T) / sqrt(dh)."""
+    B, T, D = x.shape
+    H = num_heads
+    dh = D // H
+    q = _split_heads(linear(params["q_proj"], x), H)
+    k = _split_heads(linear(params["k_proj"], x), H)
+    v = _split_heads(linear(params["v_proj"], x), H)
+    rel = xl_rel_table(T, D, dtype=x.dtype)                        # (2T-1, D)
+    r = linear(params["r_proj"], rel)                              # (2T-1, D)
+    r = r.reshape(2 * T - 1, H, dh).transpose(1, 0, 2)             # (H, 2T-1, Dh)
+    u = params["u_bias"].astype(x.dtype)[None, :, None, :]
+    vb = params["v_bias"].astype(x.dtype)[None, :, None, :]
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, k, preferred_element_type=jnp.float32)
+    bd_full = jnp.einsum("bhqd,hmd->bhqm", q + vb, r,
+                         preferred_element_type=jnp.float32)       # (B,H,T,2T-1)
+    # row m of `rel` encodes d = (T-1) - m; we need bd[i,j] at d = i - j
+    m_idx = (T - 1) - (jnp.arange(T)[:, None] - jnp.arange(T)[None, :])  # (T,T)
+    bd = jnp.take_along_axis(bd_full, m_idx[None, None, :, :], axis=-1)
+    logits = (ac + bd) / math.sqrt(dh)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return linear(params["output_proj"], _merge_heads(out))

@@ -1,0 +1,266 @@
+"""Beam search compiled to a single XLA program.
+
+Re-expresses the fairseq2 ``BeamSearchSeq2SeqGenerator`` (semantics spec:
+reference ggml/examples/unity/fairseq2.cpp:1371-1609 ``generate_sequence``; options at
+inference/generator.py:59-84) as a fixed-shape ``lax.while_loop``:
+
+  - beam_size K, candidate set 2K per step (fairseq topk trick, fairseq2.cpp:1249)
+  - prefix forcing (target language control tokens)
+  - length penalty: finalized score = sum_lprob / ((len + 1) ** len_penalty)
+    (fairseq2 StandardBeamSearchAlgorithm normalization at finalize time)
+  - unk penalty subtracted from the unk lprob each step
+  - min/max generation lengths; EOS forced at the hard max
+  - step processors (n-gram repeat block, banned sequences) as pure
+    ``(tokens, step, lprobs) -> lprobs`` functions
+  - early stop when no continuation's best achievable normalized score can beat
+    the worst finalized hypothesis on every batch row
+
+The decoder is abstracted as ``step_fn(tok_t, cache, step) -> (logits, cache)`` over a
+flattened (B*K) batch; cache is an arbitrary pytree with leading dim B*K that gets
+gathered on beam reorder.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class BeamSearchOptions(NamedTuple):
+    beam_size: int = 5
+    max_len: int = 256            # hard cap incl. prefix (static shape)
+    min_len: int = 1              # min generated tokens before EOS allowed
+    len_penalty: float = 1.0
+    unk_penalty: float = 0.0
+    pad_idx: int = 0
+    unk_idx: int = 1
+    bos_idx: int = 2
+    eos_idx: int = 3
+
+
+class BeamSearchResult(NamedTuple):
+    tokens: jax.Array      # (B, K, T_max) best-first finalized hypotheses
+    scores: jax.Array      # (B, K) normalized scores (NEG_INF = empty slot)
+    lengths: jax.Array     # (B, K) hypothesis lengths incl. prefix and EOS
+    steps: jax.Array       # () number of decode steps executed
+
+
+class _State(NamedTuple):
+    step: jax.Array        # scalar: next position to generate
+    tokens: jax.Array      # (B, K, T_max)
+    scores: jax.Array      # (B, K) running sum of lprobs
+    cache: object          # pytree, leading dim B*K
+    fin_tokens: jax.Array  # (B, K, T_max)
+    fin_scores: jax.Array  # (B, K) normalized, NEG_INF if empty
+    fin_lengths: jax.Array # (B, K)
+
+
+def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Array,
+                opts: BeamSearchOptions, vocab_size: int, *,
+                processors: Sequence[Callable] = ()) -> BeamSearchResult:
+    """Run beam search.
+
+    ``prefix``: (B, P) forced target prefix (e.g. [eos, lang]); ``prefix_len``: (B,)
+    actual prefix lengths (P static).
+    ``cache``: initial decoder cache pytree, leading dim B*K (already beam-expanded).
+    ``step_fn(tok_t, cache, step)``: tok_t (B*K, 1) int32 -> ((B*K, V) fp32 logits, cache).
+    """
+    B, P = prefix.shape
+    K = opts.beam_size
+    T = opts.max_len
+
+    tokens0 = jnp.full((B, K, T), opts.pad_idx, jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(
+        tokens0, jnp.broadcast_to(prefix[:, None, :], (B, K, P)), (0, 0, 0))
+    # beams 1..K-1 start dead so the first expansion comes from beam 0 only
+    scores0 = jnp.concatenate(
+        [jnp.zeros((B, 1)), jnp.full((B, K - 1), NEG_INF)], axis=1).astype(jnp.float32)
+
+    state = _State(
+        step=jnp.asarray(0, jnp.int32),
+        tokens=tokens0,
+        scores=scores0,
+        cache=cache,
+        fin_tokens=jnp.full((B, K, T), opts.pad_idx, jnp.int32),
+        fin_scores=jnp.full((B, K), NEG_INF, jnp.float32),
+        fin_lengths=jnp.zeros((B, K), jnp.int32),
+    )
+
+    def normalize(score_sum, length):
+        return score_sum / jnp.power(length.astype(jnp.float32) + 1.0, opts.len_penalty)
+
+    def cond(s: _State):
+        # upper bound of any continuation: negative sums only improve with length
+        best_cont = normalize(jnp.max(s.scores, axis=1), jnp.full((B,), T, jnp.int32))
+        worst_fin = jnp.min(s.fin_scores, axis=1)
+        all_full = jnp.all(s.fin_scores > NEG_INF / 2, axis=1)
+        done = all_full & (worst_fin >= best_cont)
+        return (s.step < T - 1) & ~jnp.all(done)
+
+    def body(s: _State):
+        step = s.step
+        tok_t = jax.lax.dynamic_slice_in_dim(s.tokens, step, 1, axis=2)  # (B,K,1)
+        logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step)
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lprobs = lprobs.reshape(B, K, vocab_size)
+
+        gen_pos = step + 1  # position being filled now
+        in_prefix = gen_pos < prefix_len[:, None]                      # (B, 1)
+
+        # --- step processors (operate on generated区 only) ---
+        for proc in processors:
+            lprobs = proc(s.tokens, step, lprobs)
+
+        # unk penalty & min-length EOS suppression & hard-max EOS forcing
+        lprobs = lprobs.at[:, :, opts.unk_idx].add(-opts.unk_penalty)
+        gen_count = gen_pos - prefix_len[:, None]                       # tokens generated
+        eos_banned = gen_count < opts.min_len
+        lprobs = lprobs.at[:, :, opts.eos_idx].set(
+            jnp.where(eos_banned, NEG_INF, lprobs[:, :, opts.eos_idx]))
+        force_eos = gen_pos >= (T - 1)
+        if_force = jnp.full((B, K, vocab_size), NEG_INF).at[:, :, opts.eos_idx].set(0.0)
+        lprobs = jnp.where(force_eos, if_force, lprobs)
+
+        # prefix forcing: lprob 0 for the forced token, NEG_INF elsewhere
+        nxt = jax.lax.dynamic_slice_in_dim(
+            prefix, jnp.clip(gen_pos, 0, P - 1), 1, axis=1)             # (B, 1)
+        forced = jnp.where(
+            jnp.arange(vocab_size)[None, None, :] == nxt[:, :, None], 0.0, NEG_INF)
+        forced = jnp.broadcast_to(forced, (B, K, vocab_size))
+        lprobs = jnp.where(in_prefix[:, :, None], forced, lprobs)
+
+        # dead beams must not spawn candidates (their only candidate: pad, NEG_INF)
+        cand = s.scores[:, :, None] + lprobs                            # (B,K,V)
+        flat = cand.reshape(B, K * vocab_size)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)                # (B,2K)
+        src_beam = top_idx // vocab_size
+        tok = (top_idx % vocab_size).astype(jnp.int32)
+        is_eos = (tok == opts.eos_idx) & ~jnp.broadcast_to(in_prefix, (B, 2 * K))
+
+        # ----- finalize EOS candidates into the fin_* set -----
+        hyp_len = gen_pos + 1                                           # incl. EOS
+        norm_eos = jnp.where(is_eos, normalize(top_scores, jnp.full_like(top_scores, 0)
+                                               * 0 + hyp_len.astype(jnp.float32)), NEG_INF)
+        # candidate token rows for finalization: parent tokens + EOS at position
+        parent_tokens = jnp.take_along_axis(
+            s.tokens, src_beam[:, :, None], axis=1)                     # (B,2K,T)
+        eos_tokens = jax.vmap(
+            lambda tb: jax.lax.dynamic_update_slice_in_dim(
+                tb, jnp.full((2 * K, 1), opts.eos_idx, jnp.int32), gen_pos, axis=1),
+            in_axes=0)(parent_tokens)
+        all_fin_scores = jnp.concatenate([s.fin_scores, norm_eos], axis=1)   # (B, K+2K)
+        all_fin_tokens = jnp.concatenate([s.fin_tokens, eos_tokens], axis=1)
+        all_fin_lengths = jnp.concatenate(
+            [s.fin_lengths, jnp.broadcast_to(hyp_len[None, None], (B, 2 * K))], axis=1)
+        fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, K)
+        fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_sel[:, :, None], axis=1)
+        fin_lengths = jnp.take_along_axis(all_fin_lengths, fin_sel, axis=1)
+
+        # ----- pick K continuing beams (non-EOS) -----
+        cont_scores_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        cont_pick_scores, cont_sel = jax.lax.top_k(cont_scores_cand, K)  # (B,K)
+        new_beam_src = jnp.take_along_axis(src_beam, cont_sel, axis=1)
+        new_tok = jnp.take_along_axis(tok, cont_sel, axis=1)
+        new_tokens = jnp.take_along_axis(s.tokens, new_beam_src[:, :, None], axis=1)
+        new_tokens = jax.vmap(
+            lambda tb, tt: jax.lax.dynamic_update_slice_in_dim(
+                tb, tt[:, None], gen_pos, axis=1))(new_tokens, new_tok)
+
+        # reorder cache by beam origin on the flattened B*K axis
+        flat_src = (jnp.arange(B)[:, None] * K + new_beam_src).reshape(B * K)
+        cache = jax.tree.map(lambda a: jnp.take(a, flat_src, axis=0)
+                             if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == B * K)
+                             else a, cache)
+
+        return _State(step + 1, new_tokens, cont_pick_scores, cache,
+                      fin_tokens, fin_scores, fin_lengths)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # if some rows never finalized K hypotheses, fall back to live beams
+    live_norm = final.scores / jnp.power(
+        (final.step + 1).astype(jnp.float32) + 1.0, opts.len_penalty)
+    need_fill = final.fin_scores <= NEG_INF / 2
+    fin_scores = jnp.where(need_fill, live_norm, final.fin_scores)
+    fin_tokens = jnp.where(need_fill[:, :, None], final.tokens, final.fin_tokens)
+    fin_lengths = jnp.where(need_fill, final.step + 1, final.fin_lengths)
+    order = jnp.argsort(-fin_scores, axis=1)
+    return BeamSearchResult(
+        tokens=jnp.take_along_axis(fin_tokens, order[:, :, None], axis=1),
+        scores=jnp.take_along_axis(fin_scores, order, axis=1),
+        lengths=jnp.take_along_axis(fin_lengths, order, axis=1),
+        steps=final.step,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step processors (fairseq2 StepProcessor equivalents)
+# ---------------------------------------------------------------------------
+
+def make_ngram_repeat_block(ngram_size: int, vocab_size: int) -> Callable:
+    """Ban tokens that would complete an already-seen n-gram
+    (reference cli/m4t/predict/predict.py NGramRepeatBlockProcessor)."""
+
+    def proc(tokens: jax.Array, step: jax.Array, lprobs: jax.Array) -> jax.Array:
+        B, K, T = tokens.shape
+        n = ngram_size
+        if n <= 1:
+            return lprobs
+        # current context: last n-1 generated tokens ending at `step`
+        ctx_idx = step - (n - 1) + 1 + jnp.arange(n - 1)                # (n-1,)
+        ctx = tokens[:, :, jnp.clip(ctx_idx, 0, T - 1)]                 # (B,K,n-1)
+        # all historical (n-1)-grams starting at position p, next token at p+n-1
+        p = jnp.arange(T - n + 1)
+        grams = tokens[:, :, p[:, None] + jnp.arange(n - 1)[None, :]]   # (B,K,P,n-1)
+        nexts = tokens[:, :, p + (n - 1)]                               # (B,K,P)
+        match = jnp.all(grams == ctx[:, :, None, :], axis=-1)           # (B,K,P)
+        # only n-grams fully inside the generated region
+        valid = (p + (n - 1))[None, None, :] <= step
+        ban = match & valid & (step >= (n - 1))
+        ban_onehot = jax.nn.one_hot(nexts, vocab_size, dtype=jnp.bool_) & ban[..., None]
+        banned = jnp.any(ban_onehot, axis=2)                            # (B,K,V)
+        return jnp.where(banned, NEG_INF, lprobs)
+
+    return proc
+
+
+def make_banned_sequence_processor(banned: jax.Array, banned_lens: jax.Array,
+                                   vocab_size: int) -> Callable:
+    """MinTox BannedSequenceProcessor (reference toxicity/mintox.py:125-135):
+    if the last (m-1) generated tokens match a banned sequence's prefix, ban its
+    final token. ``banned``: (N, M) left-padded with -1; ``banned_lens``: (N,)."""
+    N, M = banned.shape
+
+    def proc(tokens: jax.Array, step: jax.Array, lprobs: jax.Array) -> jax.Array:
+        B, K, T = tokens.shape
+        # window of the last M-1 tokens ending at `step` (inclusive)
+        w_idx = step - (M - 1) + 1 + jnp.arange(M - 1)
+        window = tokens[:, :, jnp.clip(w_idx, 0, T - 1)]                # (B,K,M-1)
+        w_valid = w_idx >= 0
+
+        def one_banned(seq, slen):
+            # prefix = seq[:slen-1] right-aligned in the window
+            plen = slen - 1
+            # position j in window aligns with seq index M-1-? -> compare last plen
+            seq_prefix = jnp.where(jnp.arange(M - 1) >= (M - 1 - plen),
+                                   seq[jnp.clip(jnp.arange(M - 1) - (M - 1 - plen), 0, M - 1)],
+                                   -2)
+            cmp_mask = jnp.arange(M - 1) >= (M - 1 - plen)
+            ok_steps = jnp.where(cmp_mask, (window == seq_prefix) & w_valid[None, None, :],
+                                 True)
+            matched = jnp.all(ok_steps, axis=-1)                        # (B,K)
+            # a 1-token banned sequence is always "matched"
+            matched = jnp.where(plen == 0, True, matched)
+            last_tok = seq[jnp.clip(slen - 1, 0, M - 1)]
+            return matched, last_tok
+
+        matched, last_toks = jax.vmap(one_banned)(banned, banned_lens)  # (N,B,K),(N,)
+        ban_mask = jax.nn.one_hot(last_toks, vocab_size, dtype=jnp.bool_)  # (N,V)
+        banned_v = jnp.any(matched[..., None] & ban_mask[:, None, None, :], axis=0)
+        return jnp.where(banned_v, NEG_INF, lprobs)
+
+    return proc

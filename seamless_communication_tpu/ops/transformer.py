@@ -1,0 +1,221 @@
+"""Generic pre-LN transformer encoder/decoder stacks (the NLLB text model family,
+AR T2U, and the monotonic decoder all instantiate these).
+
+Reference semantics: fairseq2 StandardTransformerEncoder/Decoder as specified in C++
+(ggml/examples/unity/fairseq2.cpp:917-1095); conventions checkpoint-validated against
+HF SeamlessM4T(v2) text encoder/decoder.
+
+Layer math (pre-LN):
+    x += self_attn(LN(x))
+    x += cross_attn(LN(x), enc)      # decoder only
+    x += ffn(LN(x))
+final stack LayerNorm at the top of encoder and decoder.
+
+Both a full-sequence forward (training, encoder, re-decode passes) and a KV-cached
+single-step forward (beam search / streaming) are provided. Layers are scan-stacked.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from seamless_communication_tpu.ops import attention as attn_ops
+from seamless_communication_tpu.ops.attention import KVCache
+from seamless_communication_tpu.ops.masks import causal_mask, combine_masks, padding_bias
+from seamless_communication_tpu.ops.modules import (
+    embedding, layer_norm, layer_norm_init, linear, linear_init,
+)
+from seamless_communication_tpu.ops.positional import apply_sinusoidal_pos
+
+
+class TransformerConfig(NamedTuple):
+    dim: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_inner_dim: int = 8192
+    activation: str = "relu"       # NLLB: relu; expressive NLLB variant: gelu
+    vocab_size: int = 256102
+    pad_idx: int = 0
+    max_seq_len: int = 4096
+    has_cross_attention: bool = False
+    layer_norm_embed: bool = False  # some frontends LN after pos encoding
+
+
+def _act(name: str):
+    return {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "swish": lambda x: x * jax.nn.sigmoid(x)}[name]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def ffn_init(key, dim, inner, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "layer_norm": layer_norm_init(dim, dtype=dtype),
+        "inner_proj": linear_init(k1, dim, inner, dtype=dtype),
+        "output_proj": linear_init(k2, inner, dim, dtype=dtype),
+    }
+
+
+def transformer_layer_init(key: jax.Array, cfg: TransformerConfig, *,
+                           dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 3)
+    p = {
+        "self_attn_layer_norm": layer_norm_init(cfg.dim, dtype=dtype),
+        "self_attn": attn_ops.mha_init(ks[0], cfg.dim, cfg.num_heads, dtype=dtype),
+        "ffn": ffn_init(ks[1], cfg.dim, cfg.ffn_inner_dim, dtype),
+    }
+    if cfg.has_cross_attention:
+        p["cross_attn_layer_norm"] = layer_norm_init(cfg.dim, dtype=dtype)
+        p["cross_attn"] = attn_ops.mha_init(ks[2], cfg.dim, cfg.num_heads, dtype=dtype)
+    return p
+
+
+def transformer_stack_init(key: jax.Array, cfg: TransformerConfig, *,
+                           dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, cfg.num_layers)
+    layers = [transformer_layer_init(k, cfg, dtype=dtype) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {"layers": stacked, "layer_norm": layer_norm_init(cfg.dim, dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# full-sequence forward
+# ---------------------------------------------------------------------------
+
+def _layer_forward(p: dict, x: jax.Array, cfg: TransformerConfig, *,
+                   self_bias: Optional[jax.Array],
+                   enc_out: Optional[jax.Array],
+                   cross_bias: Optional[jax.Array]) -> jax.Array:
+    h = layer_norm(p["self_attn_layer_norm"], x)
+    x = x + attn_ops.multi_head_attention(p["self_attn"], h, h, cfg.num_heads,
+                                          bias=self_bias)
+    if enc_out is not None:
+        h = layer_norm(p["cross_attn_layer_norm"], x)
+        x = x + attn_ops.multi_head_attention(p["cross_attn"], h, enc_out,
+                                              cfg.num_heads, bias=cross_bias)
+    h = layer_norm(p["ffn"]["layer_norm"], x)
+    h = _act(cfg.activation)(linear(p["ffn"]["inner_proj"], h))
+    return x + linear(p["ffn"]["output_proj"], h)
+
+
+def transformer_encoder(params: dict, x: jax.Array, cfg: TransformerConfig, *,
+                        padding_mask: Optional[jax.Array] = None) -> jax.Array:
+    bias = padding_bias(padding_mask)
+
+    def body(h, layer_p):
+        return _layer_forward(layer_p, h, cfg, self_bias=bias, enc_out=None,
+                              cross_bias=None), None
+
+    out, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(params["layer_norm"], out)
+
+
+def transformer_decoder(params: dict, x: jax.Array, cfg: TransformerConfig, *,
+                        enc_out: jax.Array,
+                        enc_padding_mask: Optional[jax.Array] = None,
+                        self_padding_mask: Optional[jax.Array] = None,
+                        causal: bool = True) -> jax.Array:
+    """Full-sequence decoder pass (training / text re-decode for T2U features,
+    reference generator.py:294-299)."""
+    T = x.shape[1]
+    self_bias = combine_masks(
+        causal_mask(T)[None, None] if causal else None,
+        padding_bias(self_padding_mask),
+    )
+    cross_bias = padding_bias(enc_padding_mask)
+
+    def body(h, layer_p):
+        return _layer_forward(layer_p, h, cfg, self_bias=self_bias, enc_out=enc_out,
+                              cross_bias=cross_bias), None
+
+    out, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(params["layer_norm"], out)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode step
+# ---------------------------------------------------------------------------
+
+class DecoderCache(NamedTuple):
+    """Per-stack carried state: stacked (L, B, H, T_max, Dh) self-attn KV plus
+    precomputed (L, B, H, S, Dh) cross-attn KV."""
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+
+
+def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
+                       max_len: int, dtype=None) -> DecoderCache:
+    dtype = dtype or enc_out.dtype
+    B = enc_out.shape[0]
+    H = cfg.num_heads
+    Dh = cfg.dim // H
+
+    def per_layer_cross(layer_p):
+        kv = attn_ops.cross_attention_precompute(layer_p["cross_attn"], enc_out, H)
+        return kv.k, kv.v
+
+    cross_k, cross_v = jax.vmap(per_layer_cross, in_axes=(0,))(params["layers"])
+    L = cfg.num_layers
+    shape = (L, B, H, max_len, Dh)
+    return DecoderCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), cross_k, cross_v)
+
+
+def transformer_decoder_step(params: dict, x_t: jax.Array, cache: DecoderCache,
+                             step: jax.Array, cfg: TransformerConfig, *,
+                             enc_padding_mask: Optional[jax.Array] = None
+                             ) -> tuple[jax.Array, DecoderCache]:
+    """One decode step. ``x_t``: (B, 1, D) embedded current token. Scans over layers
+    carrying x_t; per-layer KV caches live in ``cache`` with leading layer axis."""
+    cross_bias = padding_bias(enc_padding_mask)
+
+    def body(h, scanned):
+        layer_p, sk, sv, ck, cv = scanned
+        z = layer_norm(layer_p["self_attn_layer_norm"], h)
+        y, new_kv = attn_ops.self_attention_step(
+            layer_p["self_attn"], z, KVCache(sk, sv), step, cfg.num_heads)
+        h = h + y
+        z = layer_norm(layer_p["cross_attn_layer_norm"], h)
+        h = h + attn_ops.cross_attention_step(layer_p["cross_attn"], z,
+                                              KVCache(ck, cv), cfg.num_heads,
+                                              bias=cross_bias)
+        z = layer_norm(layer_p["ffn"]["layer_norm"], h)
+        z = _act(cfg.activation)(linear(layer_p["ffn"]["inner_proj"], z))
+        h = h + linear(layer_p["ffn"]["output_proj"], z)
+        return h, (new_kv.k, new_kv.v)
+
+    out, (new_k, new_v) = jax.lax.scan(
+        body, x_t,
+        (params["layers"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v))
+    out = layer_norm(params["layer_norm"], out)
+    return out, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+# ---------------------------------------------------------------------------
+# Embedding frontend (fairseq2 TransformerEmbeddingFrontend, fairseq2.cpp:917-960)
+# ---------------------------------------------------------------------------
+
+def embedding_frontend(embed_params: dict, ids: jax.Array, cfg: TransformerConfig, *,
+                       padding_mask: Optional[jax.Array] = None,
+                       start_step: int | jax.Array = 0,
+                       ln_params: Optional[dict] = None) -> jax.Array:
+    """ids -> scaled embeddings + sinusoidal positions (padding-aware, fairseq
+    convention: positions offset by pad_idx + 1)."""
+    x = embedding(embed_params, ids, scale=cfg.dim ** 0.5)
+    x = apply_sinusoidal_pos(x, padding_mask=padding_mask, padding_idx=cfg.pad_idx,
+                             start_step=start_step, max_len=cfg.max_seq_len)
+    if ln_params is not None:
+        x = layer_norm(ln_params, x)
+    return x
+
+
+def tied_projection(embed_params: dict, x: jax.Array) -> jax.Array:
+    """Logits via the tied embedding matrix (final_proj), fp32."""
+    w = embed_params["embedding"]
+    return jnp.matmul(x, w.astype(x.dtype).T, preferred_element_type=jnp.float32)

@@ -1,0 +1,47 @@
+"""Test configuration: force an 8-virtual-device CPU platform so multi-chip sharding
+(shard_map/pjit over a Mesh) is exercised without TPU hardware, and keep numerics fp32
+for parity against torch-CPU oracles.
+
+Mirrors the reference's device-switchable fixture pattern (tests/common.py:94-98,
+tests/conftest.py:28-37) with a deterministic tiny-model strategy instead of
+checkpoint downloads.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Parity tests compare against torch-fp32 oracles: disable the bf16-multiply fast path
+# JAX uses for fp32 matmuls by default. Production code runs bf16 on the MXU.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def jkey():
+    return jax.random.PRNGKey(0)
+
+
+def assert_close(actual, expected, *, atol=1e-4, rtol=1e-4):
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), atol=atol, rtol=rtol)
+
+
+def assert_unit_close(actual, expected, *, max_mismatch_ratio=0.05):
+    """Unit sequences may differ slightly across backends (reference
+    tests/common.py:42-62): allow a bounded fraction of mismatched ids."""
+    a = np.asarray(actual).ravel()
+    e = np.asarray(expected).ravel()
+    assert a.shape == e.shape
+    mismatch = float(np.mean(a != e))
+    assert mismatch <= max_mismatch_ratio, f"unit mismatch ratio {mismatch:.3f}"
