@@ -1,0 +1,111 @@
+"""Benchmark: end-to-end S2ST real-time factor on SeamlessM4T v2-large shapes,
+single TPU chip (driver north star: RTF < 0.1 per v5e chip, BASELINE.json).
+
+Pipeline timed: fbank -> conformer-24 speech encoder + adaptor -> beam-5 text decode
+(compiled lax.while_loop) -> NAR T2U -> unit HiFi-GAN vocoder. Random bf16 weights
+(no public checkpoints reachable from this environment); compute is identical to the
+real model, and beam search runs to a WORST-CASE fixed step count so the measured
+RTF is an upper bound.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.t2u import nar_t2u_forward
+    from seamless_communication_tpu.models.vocoder.codehifigan import (
+        CodeHifiGanConfig, code_hifigan_forward, code_hifigan_init,
+    )
+    from seamless_communication_tpu.ops.beam_search import BeamSearchOptions, beam_search
+    from seamless_communication_tpu.audio.fbank import fbank_jax
+
+    AUDIO_SECONDS = 10.0
+    SAMPLE_RATE = 16000
+    MAX_FRAMES = 998           # 10 s at 10 ms hop
+    TEXT_MAX_LEN = 64          # beam search runs all steps (worst case)
+    MAX_UNIT_LEN = 640
+    BEAM = 5
+
+    cfg = get_arch("base_v2")
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    params = unity.unity_init(key, cfg, dtype=dtype)
+    voc_cfg = CodeHifiGanConfig()
+    voc_params = code_hifigan_init(jax.random.PRNGKey(1), voc_cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal(int(AUDIO_SECONDS * SAMPLE_RATE)),
+                      jnp.float32)
+
+    K = BEAM
+    V = cfg.nllb.vocab_size
+
+    def s2st(params, voc_params, wav, prefix):
+        fbank = fbank_jax(wav, max_frames=MAX_FRAMES).astype(dtype)[None]
+        flens = jnp.array([MAX_FRAMES], jnp.int32)
+        enc = unity.encode_speech(params, cfg, fbank, flens)
+
+        enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
+                                     jnp.repeat(enc.lengths, K, axis=0))
+        step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
+        opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN, min_len=TEXT_MAX_LEN - 8,
+                                 pad_idx=0, unk_idx=1, eos_idx=3)
+        res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN), prefix,
+                          jnp.array([2], jnp.int32), opts, V)
+        tokens = res.tokens[:, 0]
+        tok_lens = res.lengths[:, 0]
+
+        feats = unity.decode_text(params, cfg, tokens, enc, self_lengths=tok_lens)
+        # synthetic char frontend (fixed fan-out 4 chars/token) — device-identical work
+        char_counts = jnp.where(jnp.arange(TEXT_MAX_LEN)[None] < tok_lens[:, None], 4, 0)
+        char_ids = jnp.ones((1, TEXT_MAX_LEN * 4), jnp.int32)
+        out = nar_t2u_forward(params["t2u"], cfg.nar_t2u, feats, tok_lens,
+                              char_ids, char_counts, max_unit_len=MAX_UNIT_LEN)
+        units = jnp.argmax(out.unit_logits, axis=-1)
+        voc = code_hifigan_forward(voc_params, voc_cfg, units, out.unit_lengths,
+                                   jnp.array([0]), jnp.array([0]),
+                                   dur_prediction=False, max_unit_len=MAX_UNIT_LEN)
+        return voc.waveform, voc.sample_lengths, tokens
+
+    prefix = jnp.array([[3, 5]], jnp.int32)
+    fn = jax.jit(s2st)
+
+    # compile + warmup
+    t0 = time.time()
+    out = fn(params, voc_params, wav, prefix)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = fn(params, voc_params, wav, prefix)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+
+    rtf = float(np.median(times)) / AUDIO_SECONDS
+    print(json.dumps({
+        "metric": "s2st_rtf_v2_large_10s_worstcase",
+        "value": round(rtf, 5),
+        "unit": "RTF (wall / audio seconds, single chip)",
+        "vs_baseline": round(0.1 / rtf, 3),
+        "extra": {"compile_s": round(compile_s, 1),
+                  "p50_ms": round(float(np.median(times)) * 1000, 1),
+                  "platform": str(jax.devices()[0]).strip()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

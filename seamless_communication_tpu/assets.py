@@ -1,0 +1,66 @@
+"""Asset-card store (reference: fairseq2 asset system + store.py:12-32 gated overlay).
+
+Cards are YAML files in ``seamless_communication_tpu/cards/`` with ``base:``
+inheritance; fields carry checkpoint/tokenizer URLs, arch names, language lists and
+the vocoder ``lang_spkr_idx_map``. Gated assets (expressivity, pretssel) resolve
+through the ``SEAMLESS_GATED_ASSETS`` env var pointing at a local directory
+(reference store.py ``add_gated_assets``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import yaml
+
+CARDS_DIR = Path(__file__).parent / "cards"
+_GATED = {"seamless_expressivity", "vocoder_pretssel", "vocoder_pretssel_16khz"}
+
+
+def load_card(name: str, *, cards_dir: Optional[Path] = None) -> Dict[str, Any]:
+    """Load a card by name, resolving ``base:`` inheritance (child wins)."""
+    cards_dir = cards_dir or CARDS_DIR
+    path = cards_dir / f"{name}.yaml"
+    if not path.exists():
+        raise FileNotFoundError(f"no asset card {name!r} in {cards_dir}")
+    with open(path) as f:
+        card = yaml.safe_load(f)
+    if "base" in card:
+        base = load_card(card["base"], cards_dir=cards_dir)
+        merged = dict(base)
+        merged.update({k: v for k, v in card.items() if k != "base"})
+        card = merged
+    gated_dir = os.environ.get("SEAMLESS_GATED_ASSETS")
+    if name in _GATED and gated_dir:
+        local = Path(gated_dir) / f"{name}.pt"
+        if local.exists():
+            card["checkpoint"] = str(local)
+    return card
+
+
+def list_cards() -> list:
+    return sorted(p.stem for p in CARDS_DIR.glob("*.yaml"))
+
+
+def resolve_asset(url_or_path: str, *, cache_dir: Optional[str] = None) -> str:
+    """Resolve an asset reference to a local path. Local paths pass through;
+    URLs map into the cache dir (download if the environment has egress)."""
+    if os.path.exists(url_or_path):
+        return url_or_path
+    cache_dir = cache_dir or os.environ.get(
+        "SEAMLESS_CACHE", os.path.expanduser("~/.cache/seamless_tpu"))
+    fname = url_or_path.rstrip("/").split("/")[-1]
+    local = os.path.join(cache_dir, fname)
+    if os.path.exists(local):
+        return local
+    # zero-egress environments must pre-populate the cache
+    try:
+        import urllib.request
+        os.makedirs(cache_dir, exist_ok=True)
+        urllib.request.urlretrieve(url_or_path, local)  # noqa: S310
+        return local
+    except Exception as e:  # pragma: no cover
+        raise FileNotFoundError(
+            f"asset {url_or_path!r} not cached at {local} and not downloadable: {e}")

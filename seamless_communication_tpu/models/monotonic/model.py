@@ -1,0 +1,197 @@
+"""EMMA monotonic text decoder for SeamlessStreaming
+(reference models/monotonic_decoder/: builder.py:40-245, p_choose.py:17-148,
+monotonic_decoder_layer.py:26-201, monotonic_decoder.py:29-99, model.py:23-66).
+
+dense_1b arch: 24 pre-LN layers (self-attn, cross-attn + PChoose, ffn 8192),
+energy_bias -0.5, monotonic temperature 0.2, 4-layer ReLU energy MLPs, keys
+average-pooled by pre_decision_ratio=2.
+
+The streaming policy consumes p_choose stacked over layers*heads
+((L*H, S_tgt, S_src_pooled)); decoding is single-step KV-cached inside one compiled
+program per step (SURVEY.md §7.7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from seamless_communication_tpu.ops import attention as attn_ops
+from seamless_communication_tpu.ops.attention import KVCache
+from seamless_communication_tpu.ops.masks import padding_bias
+from seamless_communication_tpu.ops.modules import (
+    embedding_init, layer_norm, layer_norm_init, linear, linear_init,
+)
+from seamless_communication_tpu.ops.transformer import (
+    embedding_frontend, tied_projection, TransformerConfig,
+)
+
+
+class MonotonicDecoderConfig(NamedTuple):
+    model_dim: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_inner_dim: int = 8192
+    vocab_size: int = 256102
+    pad_idx: int = 0
+    eos_idx: int = 3
+    unk_idx: int = 1
+    max_seq_len: int = 4096
+    energy_bias: float = -0.5
+    monotonic_temperature: float = 0.2
+    num_monotonic_energy_layers: int = 4
+    pre_decision_ratio: int = 2
+
+    def dec_cfg(self) -> TransformerConfig:
+        return TransformerConfig(self.model_dim, self.num_layers, self.num_heads,
+                                 self.ffn_inner_dim, "relu", self.vocab_size,
+                                 self.pad_idx, self.max_seq_len, True)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _energy_proj_init(key, dim, n_layers, dtype):
+    ks = jax.random.split(key, n_layers)
+    return [linear_init(k, dim, dim, dtype=dtype) for k in ks]
+
+
+def _p_choose_init(key, cfg: MonotonicDecoderConfig, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "energy_bias": jnp.full((1,), cfg.energy_bias, dtype),
+        "q_energy_proj": _energy_proj_init(k1, cfg.model_dim,
+                                           cfg.num_monotonic_energy_layers, dtype),
+        "k_energy_proj": _energy_proj_init(k2, cfg.model_dim,
+                                           cfg.num_monotonic_energy_layers, dtype),
+    }
+
+
+def _layer_init(key, cfg: MonotonicDecoderConfig, dtype):
+    ks = jax.random.split(key, 5)
+    return {
+        "self_attn_layer_norm": layer_norm_init(cfg.model_dim, dtype=dtype),
+        "self_attn": attn_ops.mha_init(ks[0], cfg.model_dim, cfg.num_heads, dtype=dtype),
+        "cross_attn_layer_norm": layer_norm_init(cfg.model_dim, dtype=dtype),
+        "cross_attn": attn_ops.mha_init(ks[1], cfg.model_dim, cfg.num_heads, dtype=dtype),
+        "p_choose": _p_choose_init(ks[2], cfg, dtype),
+        "ffn": {
+            "layer_norm": layer_norm_init(cfg.model_dim, dtype=dtype),
+            "inner_proj": linear_init(ks[3], cfg.model_dim, cfg.ffn_inner_dim, dtype=dtype),
+            "output_proj": linear_init(ks[4], cfg.ffn_inner_dim, cfg.model_dim, dtype=dtype),
+        },
+    }
+
+
+def monotonic_decoder_init(key: jax.Array, cfg: MonotonicDecoderConfig, *,
+                           dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, cfg.num_layers + 2)
+    layers = [_layer_init(k, cfg, dtype) for k in ks[:cfg.num_layers]]
+    return {
+        "embed": embedding_init(ks[-2], cfg.vocab_size, cfg.model_dim, dtype=dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "layer_norm": layer_norm_init(cfg.model_dim, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+def _energy_proj(layers, x):
+    for p in layers:
+        x = jax.nn.relu(linear(p, x))
+    return x
+
+
+def pool_keys(enc_out: jax.Array, ratio: int) -> jax.Array:
+    """Average-pool encoder keys by pre_decision_ratio (ceil mode)."""
+    B, S, D = enc_out.shape
+    pad = (-S) % ratio
+    x = jnp.pad(enc_out, ((0, 0), (0, pad), (0, 0)))
+    x = x.reshape(B, -1, ratio, D)
+    # ceil-mode average: divide by actual element count in the last window
+    counts = jnp.minimum(ratio, S - jnp.arange(x.shape[1]) * ratio)
+    return jnp.sum(x, axis=2) / counts[None, :, None].astype(x.dtype)
+
+
+def p_choose(params: dict, seqs: jax.Array, pooled_keys: jax.Array,
+             cfg: MonotonicDecoderConfig) -> jax.Array:
+    """(B, S, D) queries x (B, Sp, D) pooled keys -> (B, H, S, Sp) probabilities."""
+    H = cfg.num_heads
+    q = _energy_proj(params["q_energy_proj"], seqs)
+    k = _energy_proj(params["k_energy_proj"], pooled_keys)
+    B, S, D = q.shape
+    dh = D // H
+    qh = q.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+    energy = jnp.einsum("bhsd,bhpd->bhsp", qh, kh,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    energy = energy + params["energy_bias"].astype(jnp.float32)
+    return jax.nn.sigmoid(energy / cfg.monotonic_temperature)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode step
+# ---------------------------------------------------------------------------
+
+class MonotonicCache(NamedTuple):
+    self_k: jax.Array   # (L, B, H, T_max, Dh)
+    self_v: jax.Array
+    cross_k: jax.Array  # (L, B, H, S, Dh)
+    cross_v: jax.Array
+    pooled_keys: jax.Array  # (B, Sp, D) pooled encoder output (for p_choose)
+
+
+def monotonic_decoder_cache(params: dict, cfg: MonotonicDecoderConfig,
+                            enc_out: jax.Array, max_len: int) -> MonotonicCache:
+    B = enc_out.shape[0]
+    H, Dh = cfg.num_heads, cfg.model_dim // cfg.num_heads
+
+    def per_layer(layer_p):
+        kv = attn_ops.cross_attention_precompute(layer_p["cross_attn"], enc_out, H)
+        return kv.k, kv.v
+
+    ck, cv = jax.vmap(per_layer, in_axes=(0,))(params["layers"])
+    shape = (cfg.num_layers, B, H, max_len, Dh)
+    return MonotonicCache(jnp.zeros(shape, enc_out.dtype), jnp.zeros(shape, enc_out.dtype),
+                          ck, cv, pool_keys(enc_out, cfg.pre_decision_ratio))
+
+
+def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
+                          step: jax.Array, cfg: MonotonicDecoderConfig, *,
+                          enc_padding_mask: Optional[jax.Array] = None
+                          ) -> tuple[jax.Array, jax.Array, MonotonicCache]:
+    """One step: tok_t (B, 1) -> ((B, V) fp32 logits, (B, L*H, Sp) p_choose, cache)."""
+    x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
+    cross_bias = padding_bias(enc_padding_mask)
+
+    def body(h, scanned):
+        layer_p, sk, sv, ck, cv = scanned
+        z = layer_norm(layer_p["self_attn_layer_norm"], h)
+        y, new_kv = attn_ops.self_attention_step(layer_p["self_attn"], z,
+                                                 KVCache(sk, sv), step, cfg.num_heads)
+        h = h + y
+        z = layer_norm(layer_p["cross_attn_layer_norm"], h)
+        pc = p_choose(layer_p["p_choose"], z, cache.pooled_keys, cfg)  # (B,H,1,Sp)
+        h = h + attn_ops.cross_attention_step(layer_p["cross_attn"], z,
+                                              KVCache(ck, cv), cfg.num_heads,
+                                              bias=cross_bias)
+        z = layer_norm(layer_p["ffn"]["layer_norm"], h)
+        z = jax.nn.relu(linear(layer_p["ffn"]["inner_proj"], z))
+        h = h + linear(layer_p["ffn"]["output_proj"], z)
+        return h, (new_kv.k, new_kv.v, pc[:, :, 0, :])
+
+    out, (nk, nv, pcs) = jax.lax.scan(
+        body, x, (params["layers"], cache.self_k, cache.self_v,
+                  cache.cross_k, cache.cross_v))
+    out = layer_norm(params["layer_norm"], out)
+    logits = tied_projection(params["embed"], out)[:, 0]
+    # (L, B, H, Sp) -> (B, L*H, Sp)
+    L, B, H, Sp = pcs.shape
+    pcs = pcs.transpose(1, 0, 2, 3).reshape(B, L * H, Sp)
+    new_cache = MonotonicCache(nk, nv, cache.cross_k, cache.cross_v, cache.pooled_keys)
+    return logits, pcs, new_cache

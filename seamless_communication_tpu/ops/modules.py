@@ -150,10 +150,10 @@ def conv_transpose1d(params: dict, x: jax.Array, *, stride: int,
     Used by the HiFi-GAN upsampler stack (reference hifigan.py:150-160)."""
     w = params["weight"].astype(x.dtype)
     k = w.shape[0]
-    # torch conv_transpose == gradient of conv: lhs_dilation=stride with flipped spatial
+    # torch conv_transpose == dilated conv with spatially-flipped kernel
     # padding arithmetic: pad_lo = pad_hi = k - 1 - padding
     y = jax.lax.conv_general_dilated(
-        x, jnp.flip(w, 0).swapaxes(1, 2),
+        x, jnp.flip(w, 0),
         window_strides=(1,),
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),

@@ -9,7 +9,6 @@ checkpoint downloads.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -17,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# NOTE: this image's sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon (one real TPU), so plain env vars are too late — use config.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against torch-fp32 oracles: disable the bf16-multiply fast path
 # JAX uses for fp32 matmuls by default. Production code runs bf16 on the MXU.
