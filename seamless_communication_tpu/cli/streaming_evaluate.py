@@ -1,0 +1,100 @@
+"""streaming_evaluate CLI (reference cli/streaming/evaluate.py:33-104): run the
+SeamlessStreaming agent pipelines over a TSV of audio + references, report AL/LAAL
+(S2TT) or StartOffset/EndOffset (S2ST) and quality."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+from pathlib import Path
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("streaming_evaluate")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="SeamlessStreaming evaluation")
+    parser.add_argument("--data-file", type=str, required=True,
+                        help="TSV with 'audio' and 'tgt_text' columns")
+    parser.add_argument("--audio-root-dir", type=str, default="")
+    parser.add_argument("--task", type=str, default="s2st",
+                        choices=["s2st", "s2tt", "asr"])
+    parser.add_argument("--tgt-lang", type=str, default="eng")
+    parser.add_argument("--unity-name", type=str, default="seamless_streaming_unity")
+    parser.add_argument("--monotonic-name", type=str,
+                        default="seamless_streaming_monotonic_decoder")
+    parser.add_argument("--vocoder-name", type=str, default="vocoder_v2")
+    parser.add_argument("--source-segment-size", type=int, default=320)
+    parser.add_argument("--decision-threshold", type=float, default=0.5)
+    parser.add_argument("--min-starting-wait-w2vbert", type=int, default=192)
+    parser.add_argument("--min-unit-chunk-size", type=int, default=50)
+    parser.add_argument("--output", type=str, default="streaming_eval")
+    parser.add_argument("--local-hf-path", type=str, default=None)
+    args = parser.parse_args()
+
+    from seamless_communication_tpu.audio.wav import read_wav, resample
+    from seamless_communication_tpu.cli.loading import (
+        load_unity_model_and_tokenizers, load_vocoder,
+    )
+    from seamless_communication_tpu.models.monotonic.model import (
+        MonotonicDecoderConfig,
+    )
+    from seamless_communication_tpu.streaming.evaluator import evaluate_streaming
+    from seamless_communication_tpu.streaming.pipeline import (
+        build_s2st_pipeline, build_s2t_pipeline,
+    )
+
+    unity_params, unity_cfg, text_tok, unit_tok, char_tok = \
+        load_unity_model_and_tokenizers(args.unity_name,
+                                        local_hf_path=args.local_hf_path)
+    # monotonic decoder checkpoint: fairseq2-only release; convert via
+    # checkpoint.convert_fairseq2 and load here
+    from seamless_communication_tpu.checkpoint.serialize import load_params
+    from seamless_communication_tpu.assets import load_card, resolve_asset
+    mono_card = load_card(args.monotonic_name)
+    mono_cfg = MonotonicDecoderConfig()
+    mono_params = load_params(resolve_asset(mono_card["checkpoint"]))
+
+    wavs, refs = [], []
+    with open(args.data_file) as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            w, sr = read_wav(str(Path(args.audio_root_dir) / row["audio"]))
+            wavs.append(resample(w, sr, 16000))
+            refs.append(row.get("tgt_text", ""))
+
+    if args.task in ("s2tt", "asr"):
+        def factory():
+            return build_s2t_pipeline(
+                unity_params, unity_cfg, mono_params, mono_cfg, text_tok,
+                tgt_lang=args.tgt_lang,
+                min_starting_wait_w2vbert=args.min_starting_wait_w2vbert,
+                decision_threshold=args.decision_threshold)
+        metrics = evaluate_streaming(factory, wavs, references=refs,
+                                     tgt_lang=args.tgt_lang,
+                                     segment_size_ms=args.source_segment_size)
+    else:
+        voc_params, voc_cfg, idx_map = load_vocoder(
+            args.vocoder_name, local_hf_path=args.local_hf_path)
+
+        def factory():
+            return build_s2st_pipeline(
+                unity_params, unity_cfg, mono_params, mono_cfg, text_tok,
+                unit_tok, char_tok, voc_params, voc_cfg, idx_map,
+                tgt_lang=args.tgt_lang,
+                min_starting_wait_w2vbert=args.min_starting_wait_w2vbert,
+                decision_threshold=args.decision_threshold,
+                min_unit_chunk_size=args.min_unit_chunk_size)
+        metrics = evaluate_streaming(factory, wavs, tgt_lang=args.tgt_lang,
+                                     segment_size_ms=args.source_segment_size,
+                                     output_is_speech=True)
+
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    with open(Path(args.output) / "metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+    logger.info("metrics: %s", json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

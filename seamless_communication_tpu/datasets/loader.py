@@ -1,0 +1,77 @@
+"""Finetune data loading (reference cli/m4t/finetune/dataloader.py, dataset.py):
+JSON-lines manifests with {"source": {"audio_local_path"| "text", "lang"},
+"target": {"text", "lang", "units"?}} entries -> padded, bucketed jnp batches.
+
+Replaces the fairseq2 DataPipeline with a plain generator; fbank runs on host numpy
+(identical math to the device kernel) so the device step is pure compute.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from seamless_communication_tpu.audio.fbank import fbank_numpy
+from seamless_communication_tpu.audio.wav import read_wav, resample
+from seamless_communication_tpu.text.nllb import NllbTokenizer
+
+
+def _bucket(n, step):
+    return max(step, -(-n // step) * step)
+
+
+def read_manifest(path: str) -> List[dict]:
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                items.append(json.loads(line))
+    return items
+
+
+def manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
+                     batch_size: int = 8, max_frames: int = 1024,
+                     max_tokens: int = 128) -> Iterator[dict]:
+    """Yield finetune batches: fbank, fbank_lens, prev_tokens, target_tokens,
+    target_lens (teacher-forced shift)."""
+    import jax.numpy as jnp
+
+    items = read_manifest(path)
+    for i in range(0, len(items), batch_size):
+        chunk = items[i:i + batch_size]
+        feats, flens, tgt_ids = [], [], []
+        for it in chunk:
+            src = it["source"]
+            if "audio_local_path" in src:
+                wav, sr = read_wav(src["audio_local_path"])
+                wav = resample(wav, sr, 16000)
+                f = fbank_numpy(wav)
+                f = (f - f.mean()) / (f.std() + 1e-7)
+            else:
+                raise ValueError("text-source finetuning requires audio manifests")
+            feats.append(f[:max_frames])
+            flens.append(min(f.shape[0], max_frames))
+            tgt = it["target"]
+            ids = text_tokenizer.encode_target(tgt["text"], tgt["lang"])
+            tgt_ids.append(ids[:max_tokens])
+
+        B = len(chunk)
+        T = _bucket(max(flens), 128)
+        L = _bucket(max(len(t) for t in tgt_ids), 16)
+        fb = np.zeros((B, T, 80), np.float32)
+        pv = np.full((B, L), text_tokenizer.vocab_info.pad_idx, np.int32)
+        tg = np.full((B, L), text_tokenizer.vocab_info.pad_idx, np.int32)
+        tl = np.zeros((B,), np.int32)
+        for b in range(B):
+            fb[b, :flens[b]] = feats[b][:flens[b]]
+            ids = tgt_ids[b]
+            # teacher forcing: prev = ids[:-1], target = ids[1:]
+            pv[b, :len(ids) - 1] = ids[:-1]
+            tg[b, :len(ids) - 1] = ids[1:]
+            tl[b] = len(ids) - 1
+        yield {"fbank": jnp.asarray(fb), "fbank_lens": jnp.asarray(flens, jnp.int32),
+               "prev_tokens": jnp.asarray(pv), "target_tokens": jnp.asarray(tg),
+               "target_lens": jnp.asarray(tl)}

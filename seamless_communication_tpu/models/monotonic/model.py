@@ -164,8 +164,10 @@ def monotonic_decoder_cache(params: dict, cfg: MonotonicDecoderConfig,
 def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
                           step: jax.Array, cfg: MonotonicDecoderConfig, *,
                           enc_padding_mask: Optional[jax.Array] = None
-                          ) -> tuple[jax.Array, jax.Array, MonotonicCache]:
-    """One step: tok_t (B, 1) -> ((B, V) fp32 logits, (B, L*H, Sp) p_choose, cache)."""
+                          ):
+    """One step: tok_t (B, 1) -> ((B, V) fp32 logits, (B, 1, D) features,
+    (B, L*H, Sp) p_choose, cache). Features feed the downstream NAR T2U
+    (streaming UnitYMMATextDecoderAgent, online_text_decoder.py:394-444)."""
     x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
     cross_bias = padding_bias(enc_padding_mask)
 
@@ -194,4 +196,4 @@ def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
     L, B, H, Sp = pcs.shape
     pcs = pcs.transpose(1, 0, 2, 3).reshape(B, L * H, Sp)
     new_cache = MonotonicCache(nk, nv, cache.cross_k, cache.cross_v, cache.pooled_keys)
-    return logits, pcs, new_cache
+    return logits, out, pcs, new_cache

@@ -1,0 +1,51 @@
+"""Detokenizer agent: emits full words only (holds back the last partial word until
+the next space or finish) — reference streaming/agents/detokenizer.py:23-80."""
+
+from __future__ import annotations
+
+from seamless_communication_tpu.streaming.agents.common import (
+    AgentStates, GenericAgent, ReadAction, TextSegment, WriteAction,
+)
+
+SPM_SPACE = "▁"
+
+
+class DetokenizerAgent(GenericAgent):
+    source_type = "text"
+    target_type = "text"
+
+    def __init__(self, *, detokenize_only: bool = True, args=None):
+        self.detokenize_only = detokenize_only
+        super().__init__(args)
+
+    def build_states(self) -> AgentStates:
+        s = AgentStates()
+        s.buffer = []
+        return s
+
+    def reset(self):
+        super().reset()
+        self.states.buffer = []
+
+    def policy(self, states: AgentStates):
+        possible_full_words = "".join(
+            [str(c) for c in states.source if c is not None])
+        states.source = []
+
+        if self.detokenize_only:
+            words = possible_full_words.replace(SPM_SPACE, " ")
+            if states.source_finished:
+                return WriteAction(TextSegment(content=words), finished=True)
+            if len(words) == 0:
+                return ReadAction()
+            return WriteAction(TextSegment(content=words), finished=False)
+
+        if states.source_finished:
+            return WriteAction(TextSegment(content=possible_full_words),
+                               finished=True)
+        # hold back the trailing partial word
+        last_space = possible_full_words.rfind(SPM_SPACE)
+        if last_space <= 0:
+            return ReadAction()
+        full = possible_full_words[:last_space].replace(SPM_SPACE, " ").strip()
+        return WriteAction(TextSegment(content=full), finished=False)

@@ -1,0 +1,123 @@
+"""Streaming agent pipelines (reference streaming/agents/seamless_streaming_s2st.py
+and unity_pipeline.py): wire feature-extractor -> speech encoder -> EMMA text
+decoder -> [detokenizer | NAR unit decoder -> vocoder]."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from seamless_communication_tpu.models.monotonic.model import MonotonicDecoderConfig
+from seamless_communication_tpu.models.unity.builder import UnitYConfig
+from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
+from seamless_communication_tpu.models.vocoder.codehifigan import CodeHifiGanConfig
+from seamless_communication_tpu.streaming.agents.common import (
+    AgentPipeline, Segment, SpeechSegment,
+)
+from seamless_communication_tpu.streaming.agents.detokenizer import DetokenizerAgent
+from seamless_communication_tpu.streaming.agents.offline_w2v_bert_encoder import (
+    OfflineWav2VecBertEncoderAgent,
+)
+from seamless_communication_tpu.streaming.agents.online_feature_extractor import (
+    OnlineFeatureExtractorAgent,
+)
+from seamless_communication_tpu.streaming.agents.online_text_decoder import (
+    MMASpeechToTextDecoderAgent, UnitYMMATextDecoderAgent,
+)
+from seamless_communication_tpu.streaming.agents.online_unit_decoder import (
+    NARUnitYUnitDecoderAgent,
+)
+from seamless_communication_tpu.streaming.agents.online_vocoder import VocoderAgent
+from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+from seamless_communication_tpu.text.nllb import NllbTokenizer
+
+
+def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
+                       mono_params: dict, mono_cfg: MonotonicDecoderConfig,
+                       text_tokenizer: NllbTokenizer, *, tgt_lang: str = "eng",
+                       min_starting_wait_w2vbert: int = 192,
+                       decision_threshold: float = 0.5,
+                       denormalize: bool = False, max_len_b: int = 200,
+                       max_consecutive_writes: int = 50) -> AgentPipeline:
+    """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43)."""
+    return AgentPipeline([
+        OnlineFeatureExtractorAgent(denormalize=denormalize),
+        OfflineWav2VecBertEncoderAgent(unity_params, unity_cfg,
+                                       min_starting_wait=min_starting_wait_w2vbert),
+        MMASpeechToTextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
+                                    tgt_lang=tgt_lang, max_len_b=max_len_b,
+                                    max_consecutive_writes=max_consecutive_writes,
+                                    decision_threshold=decision_threshold),
+        DetokenizerAgent(),
+    ])
+
+
+def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
+                        mono_params: dict, mono_cfg: MonotonicDecoderConfig,
+                        text_tokenizer: NllbTokenizer,
+                        unit_tokenizer: UnitTokenizer,
+                        char_tokenizer: CharTokenizer,
+                        vocoder_params: dict, vocoder_cfg: CodeHifiGanConfig,
+                        lang_spkr_idx_map: dict, *, tgt_lang: str = "eng",
+                        min_starting_wait_w2vbert: int = 192,
+                        decision_threshold: float = 0.5,
+                        min_unit_chunk_size: int = 50,
+                        denormalize: bool = False, max_len_b: int = 200,
+                        max_consecutive_writes: int = 50,
+                        text_bucket: int = 16) -> AgentPipeline:
+    """SeamlessStreaming S2ST pipeline (seamless_streaming_s2st.py:28-36)."""
+    return AgentPipeline([
+        OnlineFeatureExtractorAgent(denormalize=denormalize),
+        OfflineWav2VecBertEncoderAgent(unity_params, unity_cfg,
+                                       min_starting_wait=min_starting_wait_w2vbert),
+        UnitYMMATextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
+                                 tgt_lang=tgt_lang, max_len_b=max_len_b,
+                                 max_consecutive_writes=max_consecutive_writes,
+                                 decision_threshold=decision_threshold),
+        NARUnitYUnitDecoderAgent(unity_params, unity_cfg, unit_tokenizer,
+                                 text_tokenizer, char_tokenizer,
+                                 min_unit_chunk_size=min_unit_chunk_size,
+                                 text_bucket=text_bucket),
+        VocoderAgent(vocoder_params, vocoder_cfg,
+                     lang_spkr_idx_map=lang_spkr_idx_map, tgt_lang=tgt_lang),
+    ])
+
+
+class StreamingSession:
+    """Push 320 ms source chunks, collect output segments — the host-side driver of
+    an agent pipeline (simuleval evaluator inner loop)."""
+
+    def __init__(self, pipeline: AgentPipeline, *, segment_size_ms: int = 320,
+                 sample_rate: int = 16000, tgt_lang: Optional[str] = None):
+        self.pipeline = pipeline
+        self.segment_size = int(segment_size_ms * sample_rate / 1000)
+        self.sample_rate = sample_rate
+        self.tgt_lang = tgt_lang
+        pipeline.reset()
+
+    def run(self, waveform: np.ndarray, *, max_drain_steps: int = 128):
+        """Stream the whole waveform; yields (chunk_index, output segment).
+
+        After the source ends the pipeline keeps getting pumped with empty finished
+        segments until it emits a finished output (simuleval evaluator loop)."""
+        from seamless_communication_tpu.streaming.agents.common import EmptySegment
+
+        n = len(waveform)
+        n_chunks = max(1, -(-n // self.segment_size))
+        done = False
+        for i in range(n_chunks):
+            chunk = waveform[i * self.segment_size:(i + 1) * self.segment_size]
+            seg = SpeechSegment(content=list(np.asarray(chunk, np.float32)),
+                                finished=(i == n_chunks - 1),
+                                tgt_lang=self.tgt_lang)
+            for out in self.pipeline.process(seg):
+                done = done or out.finished
+                yield i, out
+        drain = 0
+        while not done and drain < max_drain_steps:
+            drain += 1
+            for out in self.pipeline.process(
+                    EmptySegment(finished=True, tgt_lang=self.tgt_lang)):
+                done = done or out.finished
+                yield n_chunks - 1, out

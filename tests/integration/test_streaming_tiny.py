@@ -1,0 +1,122 @@
+"""Streaming pipeline smoke tests on tiny models: S2T (EMMA policy) and full S2ST
+(feature extractor -> encoder -> monotonic decoder -> NAR units -> vocoder),
+plus latency-metric math checks."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seamless_communication_tpu.models.monotonic.model import (
+    MonotonicDecoderConfig, monotonic_decoder_init,
+)
+from seamless_communication_tpu.models.unity import model as unity
+from seamless_communication_tpu.models.unity.builder import get_arch
+from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
+from seamless_communication_tpu.models.vocoder.codehifigan import (
+    CodeHifiGanConfig, code_hifigan_init,
+)
+from seamless_communication_tpu.models.vocoder.hifigan import HifiGanConfig
+from seamless_communication_tpu.streaming.evaluator import (
+    average_lagging, evaluate_streaming,
+)
+from seamless_communication_tpu.streaming.pipeline import (
+    StreamingSession, build_s2st_pipeline, build_s2t_pipeline,
+)
+from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+from seamless_communication_tpu.text.nllb import NllbTokenizer
+from seamless_communication_tpu.text.spm import (
+    SentencePieceModel, build_spm_model, TYPE_CONTROL, TYPE_NORMAL, TYPE_UNKNOWN,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_arch("tiny_v2")
+    base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+            ("</s>", 0.0, TYPE_CONTROL)]
+    words = ["▁aa", "▁bb", "▁cc", ",", "."]
+    chars = ["▁"] + list("abc.,")
+    text_spm = SentencePieceModel.from_bytes(build_spm_model(
+        base + [(w, -2.0, TYPE_NORMAL) for w in words]
+        + [(c, -10.0, TYPE_NORMAL) for c in chars]))
+    char_spm = SentencePieceModel.from_bytes(build_spm_model(
+        base + [(c, -1.0, TYPE_NORMAL) for c in chars]))
+    text_tok = NllbTokenizer(text_spm, langs=["__eng__", "__fra__"])
+    char_tok = CharTokenizer(char_spm)
+    unit_tok = UnitTokenizer(100, ["eng", "fra"], "base_v2")
+
+    unity_params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    mono_cfg = MonotonicDecoderConfig(
+        model_dim=64, num_layers=2, num_heads=4, ffn_inner_dim=128,
+        vocab_size=256, num_monotonic_energy_layers=2, pre_decision_ratio=2)
+    mono_params = monotonic_decoder_init(jax.random.PRNGKey(5), mono_cfg)
+    voc_cfg = CodeHifiGanConfig(
+        num_units=100, unit_embed_dim=32, num_langs=4, lang_embed_dim=8,
+        num_spkrs=4, spkr_embed_dim=8, dur_predictor_hidden=16,
+        hifigan=HifiGanConfig(model_in_dim=48, upsample_initial_channel=32,
+                              upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),)))
+    voc_params = code_hifigan_init(jax.random.PRNGKey(6), voc_cfg)
+    return dict(cfg=cfg, unity_params=unity_params, mono_cfg=mono_cfg,
+                mono_params=mono_params, text_tok=text_tok, char_tok=char_tok,
+                unit_tok=unit_tok, voc_cfg=voc_cfg, voc_params=voc_params)
+
+
+def test_average_lagging_math():
+    # 3 tokens emitted at 300/600/900ms of a 900ms source, rate = 300ms/token
+    al = average_lagging([300, 600, 900], 900.0, 3)
+    assert al == pytest.approx(300.0)
+    # LAAL with over-generation normalizes by hyp length
+    laal = average_lagging([300, 600, 900], 900.0, 2, length_adaptive=True)
+    assert laal == pytest.approx(300.0)
+
+
+def test_s2t_streaming(setup):
+    s = setup
+    pipe = build_s2t_pipeline(
+        s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"], s["text_tok"],
+        tgt_lang="eng", min_starting_wait_w2vbert=16, decision_threshold=0.4,
+        max_len_b=12, max_consecutive_writes=6)
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)).astype(np.float32)
+    session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
+    outs = list(session.run(wav))
+    # pipeline must terminate with a finished segment
+    assert outs and outs[-1][1].finished
+
+
+def test_s2st_streaming(setup):
+    s = setup
+    pipe = build_s2st_pipeline(
+        s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"], s["text_tok"],
+        s["unit_tok"], s["char_tok"], s["voc_params"], s["voc_cfg"],
+        {"multilingual": {"eng": 0}, "multispkr": {"eng": [0]}},
+        tgt_lang="eng", min_starting_wait_w2vbert=16, decision_threshold=0.4,
+        min_unit_chunk_size=5, max_len_b=12, max_consecutive_writes=6,
+        text_bucket=32)
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)).astype(np.float32)
+    session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
+    total_wav = 0
+    finished = False
+    for _, seg in session.run(wav):
+        if hasattr(seg, "sample_rate") and seg.content is not None:
+            total_wav += np.asarray(seg.content).size
+        finished = finished or seg.finished
+    assert finished
+
+
+def test_streaming_evaluator(setup):
+    s = setup
+    wavs = [(0.1 * np.sin(2 * np.pi * 250 * np.arange(16000) / 16000)).astype(np.float32)]
+
+    def factory():
+        return build_s2t_pipeline(
+            s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"],
+            s["text_tok"], tgt_lang="eng", min_starting_wait_w2vbert=16,
+            decision_threshold=0.4, max_len_b=12, max_consecutive_writes=6)
+
+    metrics = evaluate_streaming(factory, wavs, references=["aa bb"],
+                                 tgt_lang="eng")
+    assert "bleu" in metrics and "AL_ms" in metrics and "LAAL_ms" in metrics
+    assert metrics["num_instances"] == 1

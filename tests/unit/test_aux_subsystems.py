@@ -1,0 +1,180 @@
+"""Tests for aux subsystems: aligner Viterbi, ECAPA, PRETSSEL, VAD, eval metrics,
+toxicity, unit extractor kmeans, serialization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_monotonic_alignment_search_simple():
+    from seamless_communication_tpu.models.aligner.model import (
+        monotonic_alignment_search, viterbi_durations,
+    )
+    # 6 feature frames, 3 text tokens; block-diagonal preference
+    lp = np.full((6, 3), -10.0)
+    for j, i in enumerate([0, 0, 1, 1, 2, 2]):
+        lp[j, i] = -0.1
+    path = monotonic_alignment_search(lp)
+    assert list(path) == [0, 0, 1, 1, 2, 2]
+    dur = viterbi_durations(lp[None], np.array([3]), np.array([6]))
+    assert list(dur[0]) == [2, 2, 2]
+
+
+def test_aligner_forward_shapes():
+    from seamless_communication_tpu.models.aligner import (
+        AlignerConfig, aligner_init, aligner_forward,
+    )
+    cfg = AlignerConfig(embed_dim=16, feat_dim=24, text_vocab_size=40,
+                        unit_vocab_size=50, text_layers=2, feat_layers=2)
+    params = aligner_init(jax.random.PRNGKey(0), cfg)
+    text = jnp.asarray(np.random.randint(4, 40, (2, 7)))
+    units = jnp.asarray(np.random.randint(4, 50, (2, 19)))
+    lprob, dur = aligner_forward(params, cfg, text, units, np.array([7, 5]),
+                                 np.array([19, 12]))
+    assert lprob.shape == (2, 19, 7)
+    assert dur.shape == (2, 7)
+    assert dur[0].sum() == 19 and dur[1].sum() == 12
+    assert dur[1, 5:].sum() == 0  # no duration on padded text
+
+
+def test_ecapa_shapes_and_norm():
+    from seamless_communication_tpu.models.pretssel.ecapa_tdnn import (
+        EcapaConfig, ecapa_forward, ecapa_init,
+    )
+    cfg = EcapaConfig(channels=(32, 32, 32, 32, 96), kernel_sizes=(5, 3, 3, 3, 1),
+                      dilations=(1, 2, 3, 4, 1), attention_channels=16,
+                      res2net_scale=4, se_channels=16, groups=(1,) * 5,
+                      embed_dim=24, input_dim=80)
+    params = ecapa_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 37, 80))
+    mask = jnp.asarray(np.arange(37)[None] < np.array([[37], [20]]))
+    emb = ecapa_forward(params, x, cfg, padding_mask=mask)
+    assert emb.shape == (2, 24)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0,
+                               atol=1e-5)
+
+
+def test_pretssel_vocoder_shapes():
+    from seamless_communication_tpu.models.pretssel.vocoder import (
+        PretsselConfig, pretssel_forward, pretssel_init,
+    )
+    from seamless_communication_tpu.models.pretssel.ecapa_tdnn import EcapaConfig
+    from seamless_communication_tpu.models.pretssel.streamable import SeanetConfig
+    from seamless_communication_tpu.models.vocoder.hifigan import HifiGanConfig
+
+    cfg = PretsselConfig(
+        num_units=50, model_dim=32, num_heads=2, ffn_inner_dim=64,
+        conv_kernel_size=5, num_encoder_layers=1, num_decoder_layers=1,
+        num_langs=4, lang_embed_dim=8, prosody_dim=16, mel_dim=80,
+        pn_conv_dim=32, pn_layers=2, pn_kernel_size=5, dur_predictor_hidden=16,
+        hifigan=HifiGanConfig(model_in_dim=80, upsample_initial_channel=32,
+                              upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),)),
+        seanet=SeanetConfig(dimension=16, n_filters=4, ratios=(4, 2), lstm=1),
+        ecapa=EcapaConfig(channels=(16, 16, 16, 16, 32), kernel_sizes=(5, 3, 3, 3, 1),
+                          dilations=(1, 2, 3, 4, 1), attention_channels=8,
+                          res2net_scale=4, se_channels=8, groups=(1,) * 5,
+                          embed_dim=16, input_dim=80))
+    params = pretssel_init(jax.random.PRNGKey(0), cfg)
+    units = jnp.asarray(np.random.randint(4, 50, (1, 8)))
+    durs = jnp.full((1, 8), 2, jnp.int32)
+    fb = jax.random.normal(jax.random.PRNGKey(1), (1, 30, 80))
+    out = pretssel_forward(params, cfg, units, jnp.array([8]), durs, fb,
+                           jnp.array([30]), jnp.array([1]), max_mel_len=32)
+    assert out.mel.shape == (1, 32, 80)
+    assert int(out.sample_lengths[0]) == 16 * 8  # sum(dur)=16, upsample 8x
+    assert np.all(np.isfinite(np.asarray(out.waveform)))
+
+
+def test_vad_segmenter():
+    from seamless_communication_tpu.segment.vad import VADSegmenter
+    rng = np.random.default_rng(0)
+    sr = 16000
+    speech = 0.5 * np.sin(2 * np.pi * 200 * np.arange(3 * sr) / sr)
+    silence = 0.001 * rng.standard_normal(sr)
+    wav = np.concatenate([speech, silence, speech]).astype(np.float32)
+    seg = VADSegmenter(chunk_size_sec=4.0, pause_length=0.2)
+    chunks = seg.segment_long_input(wav)
+    assert len(chunks) >= 2
+    assert all((e - s) <= 4.0 * sr for s, e in chunks)
+
+
+def test_eval_metrics():
+    from seamless_communication_tpu.cli.eval_utils import (
+        compute_asr_error_rate, compute_corpus_metric_score,
+    )
+    assert compute_corpus_metric_score(
+        ["the cat sat on the mat"],
+        ["the cat sat on the mat"]) == pytest.approx(100.0)
+    assert compute_asr_error_rate(["a b c"], ["a b c"]) == 0.0
+    assert compute_asr_error_rate(["a x c"], ["a b c"]) == pytest.approx(1 / 3)
+
+
+def test_etox_added_toxicity():
+    from seamless_communication_tpu.toxicity.etox import ETOXBadWordChecker
+    checker = ETOXBadWordChecker.from_word_lists(
+        {"eng": ["badword"], "fra": ["mechant"]})
+    # added: target has it, source doesn't
+    assert checker.extract_bad_words("hello", "you badword", "eng", "eng")
+    # not added: both have it
+    assert not checker.extract_bad_words("badword src", "you badword", "eng", "eng")
+    assert not checker.extract_bad_words("hello", "clean text", "eng", "eng")
+
+
+def test_mintox_banned_sequences_and_rerun():
+    from seamless_communication_tpu.text.spm import (
+        SentencePieceModel, build_spm_model, TYPE_CONTROL, TYPE_NORMAL, TYPE_UNKNOWN,
+    )
+    from seamless_communication_tpu.text.nllb import NllbTokenizer
+    from seamless_communication_tpu.toxicity.etox import ETOXBadWordChecker
+    from seamless_communication_tpu.toxicity.mintox import mintox_pipeline
+
+    base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+            ("</s>", 0.0, TYPE_CONTROL)]
+    pieces = base + [(w, -5.0, TYPE_NORMAL) for w in
+                     ["▁bad", "▁good", "▁text", "★", "▁"]]
+    tok = NllbTokenizer(SentencePieceModel.from_bytes(build_spm_model(pieces)),
+                        langs=["__eng__"])
+    checker = ETOXBadWordChecker.from_word_lists({"eng": ["bad"]})
+    calls = {}
+
+    def rerun(indices, banned):
+        calls["indices"] = indices
+        calls["banned"] = banned
+        return ["good text"], None
+
+    texts, units = mintox_pipeline(
+        checker=checker, text_tokenizer=tok,
+        src_texts=["good text", "good text"],
+        original_texts=["good text", "bad text"],
+        original_units=None, src_lang="eng", tgt_lang="eng", rerun_fn=rerun)
+    assert calls["indices"] == [1]
+    assert texts == ["good text", "good text"]
+    assert calls["banned"][0].shape[0] >= 1
+
+
+def test_kmeans_quantizer():
+    from seamless_communication_tpu.models.unit_extractor.unit_extractor import (
+        KmeansModel,
+    )
+    centroids = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    km = KmeansModel(centroids)
+    x = jnp.asarray([[0.1, -0.1], [9.5, 10.2], [1.0, 9.0]])
+    assert list(np.asarray(km(x))) == [0, 1, 2]
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from seamless_communication_tpu.checkpoint.serialize import (
+        load_params, save_params,
+    )
+    params = {"a": {"weight": np.ones((3, 2))},
+              "layers": [{"w": np.zeros(4)}, {"w": np.ones(4)}]}
+    p = str(tmp_path / "ckpt.npz")
+    save_params(p, params)
+    back = load_params(p)
+    assert back["a"]["weight"].shape == (3, 2)
+    assert isinstance(back["layers"], list) and len(back["layers"]) == 2
+    np.testing.assert_array_equal(back["layers"][1]["w"], np.ones(4))
