@@ -142,10 +142,15 @@ def fbank_jax(waveform: jax.Array, *, cfg: FbankConfig = FbankConfig(),
     shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
     frames = frames - cfg.preemphasis * shifted
     basis, mel_f = _dft_and_mel_bases(cfg)
-    spec = jnp.matmul(frames, basis, preferred_element_type=jnp.float32)  # (F, 2*bins)
+    # fp32 multiplies: TPU matmuls default to bf16 inputs, which loses ~16%
+    # relative accuracy on the heavily-cancelling DFT
+    hi = jax.lax.Precision.HIGHEST
+    spec = jnp.matmul(frames, basis, preferred_element_type=jnp.float32,
+                      precision=hi)  # (F, 2*bins)
     bins = cfg.fft_length // 2 + 1
     power = jnp.square(spec[:, :bins]) + jnp.square(spec[:, bins:])
-    mel = jnp.maximum(jnp.matmul(power, mel_f, preferred_element_type=jnp.float32),
+    mel = jnp.maximum(jnp.matmul(power, mel_f, preferred_element_type=jnp.float32,
+                                 precision=hi),
                       MEL_FLOOR)
     return jnp.log(mel)
 

@@ -49,7 +49,11 @@ class Modality(enum.Enum):
 
 def get_modalities_from_task_str(task_str: str) -> tuple[Modality, Modality]:
     """reference translator.py:198-213"""
-    task = Task[task_str.upper()]
+    try:
+        task = Task[task_str.upper()]
+    except KeyError:
+        valid = ", ".join(t.name.lower() for t in Task)
+        raise ValueError(f"unknown task {task_str!r}; expected one of: {valid}") from None
     if task is Task.S2ST:
         return Modality.SPEECH, Modality.SPEECH
     if task is Task.S2TT or task is Task.ASR:
