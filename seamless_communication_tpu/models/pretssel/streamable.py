@@ -160,7 +160,6 @@ def seanet_init(key: jax.Array, cfg: SeanetConfig, *, dtype=jnp.float32) -> dict
                                      true_skip=cfg.true_skip, dtype=dtype),
             "down": conv1d_init(next(ks), mult * nf, mult * nf * 2, ratio * 2,
                                 dtype=dtype),
-            "ratio": ratio,
         })
         mult *= 2
     p["enc_lstm"] = lstm_init(next(ks), mult * nf, cfg.lstm, dtype=dtype)
@@ -177,7 +176,6 @@ def seanet_init(key: jax.Array, cfg: SeanetConfig, *, dtype=jnp.float32) -> dict
                                      (cfg.residual_kernel_size, 1),
                                      compress=cfg.compress,
                                      true_skip=cfg.true_skip, dtype=dtype),
-            "ratio": ratio,
         })
         mult //= 2
     p["dec_out"] = conv1d_init(next(ks), nf, cfg.channels, cfg.last_kernel_size,
@@ -188,18 +186,18 @@ def seanet_init(key: jax.Array, cfg: SeanetConfig, *, dtype=jnp.float32) -> dict
 def seanet_forward(p: dict, x: jax.Array, cfg: SeanetConfig) -> jax.Array:
     """(B, T, 1) waveform -> (B, ~T, 1) refined waveform."""
     h = streamable_conv(p["enc_in"], x, causal=cfg.causal)
-    for blk in p["enc_blocks"]:
+    for blk, ratio in zip(p["enc_blocks"], reversed(list(cfg.ratios))):
         h = resnet_block(blk["res"], h, causal=cfg.causal)
         h = _elu(h)
-        h = streamable_conv(blk["down"], h, stride=blk["ratio"], causal=cfg.causal)
+        h = streamable_conv(blk["down"], h, stride=ratio, causal=cfg.causal)
     h = lstm_forward(p["enc_lstm"], h)
     h = _elu(h)
     h = streamable_conv(p["enc_out"], h, causal=cfg.causal)
     h = streamable_conv(p["dec_in"], h, causal=cfg.causal)
     h = lstm_forward(p["dec_lstm"], h)
-    for blk in p["dec_blocks"]:
+    for blk, ratio in zip(p["dec_blocks"], cfg.ratios):
         h = _elu(h)
-        h = streamable_conv_transpose(blk["up"], h, stride=blk["ratio"],
+        h = streamable_conv_transpose(blk["up"], h, stride=ratio,
                                       causal=cfg.causal,
                                       trim_right_ratio=cfg.trim_right_ratio)
         h = resnet_block(blk["res"], h, causal=cfg.causal)

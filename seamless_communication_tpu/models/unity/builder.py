@@ -129,6 +129,36 @@ def _streaming() -> UnitYConfig:
     )
 
 
+def _nano_family(model_dim: int) -> UnitYConfig:
+    """On-device archs (reference builder.py:227-356): 6-layer XL conformer over
+    stride-4 stacked fbank, 1-enc/N-dec NLLB (vocab 20010), tiny AR T2U."""
+    return UnitYConfig(
+        model_dim=model_dim,
+        speech=SpeechEncoderConfig(
+            model_dim=model_dim, feature_dim=320, fbank_stride=4,
+            ffn_inner_dim=model_dim * 4, num_adaptor_heads=16,
+            conformer=_xl_conformer(dim=model_dim, layers=6, heads=16,
+                                    ffn=model_dim * 4)),
+        nllb=NllbConfig(dim=model_dim, num_encoder_layers=1, num_decoder_layers=3,
+                        num_heads=16, ffn_inner_dim=model_dim * 8,
+                        vocab_size=20010, max_seq_len=1024),
+        ar_t2u=ArT2UConfig(model_dim=model_dim, num_encoder_layers=1,
+                           num_decoder_layers=1, num_heads=16,
+                           ffn_inner_dim=model_dim * 8, unit_vocab_size=10082),
+        arch="seamless_nano",
+    )
+
+
+@register_arch("seamless_micro")
+def _seamless_micro() -> UnitYConfig:
+    return _nano_family(512)
+
+
+@register_arch("seamless_nano")
+def _seamless_nano() -> UnitYConfig:
+    return _nano_family(256)
+
+
 # tiny arch for hermetic tests / compile checks
 @register_arch("tiny_v2")
 def _tiny_v2() -> UnitYConfig:

@@ -32,7 +32,8 @@ from seamless_communication_tpu.ops.modules import (
 
 class SpeechEncoderConfig(NamedTuple):
     model_dim: int = 1024
-    feature_dim: int = 160            # stacked fbank (80 x 2)
+    feature_dim: int = 160            # stacked fbank (80 x fbank_stride)
+    fbank_stride: int = 2
     conformer: ConformerConfig = ConformerConfig()
     adaptor_layers: int = 1
     adaptor_kernel_size: int = 8
@@ -133,7 +134,7 @@ def speech_encoder_forward(params: dict, fbank: jax.Array, frame_lens: jax.Array
 
     Full path: stack x2 -> LN+proj -> conformer -> +0.5*ffn -> adaptor(s) -> LN.
     """
-    x, lens = stack_fbank_frames(fbank, frame_lens)
+    x, lens = stack_fbank_frames(fbank, frame_lens, stride=cfg.fbank_stride)
     x = layer_norm(params["feature_projection"]["layer_norm"], x)
     x = linear(params["feature_projection"]["projection"], x)
 

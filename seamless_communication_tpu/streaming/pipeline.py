@@ -84,6 +84,51 @@ def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
     ])
 
 
+def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
+                                   mono_params: dict,
+                                   mono_cfg: MonotonicDecoderConfig,
+                                   text_tokenizer: NllbTokenizer,
+                                   unit_tokenizer: UnitTokenizer,
+                                   char_tokenizer: CharTokenizer,
+                                   pretssel_params: dict, pretssel_cfg,
+                                   lang_to_index: dict, gcmvn_mean, gcmvn_std, *,
+                                   tgt_lang: str = "eng",
+                                   min_starting_wait_w2vbert: int = 192,
+                                   decision_threshold: float = 0.5,
+                                   min_unit_chunk_size: int = 50,
+                                   denormalize: bool = False,
+                                   use_vad: bool = False) -> AgentPipeline:
+    """SeamlessExpressive streaming S2ST (reference seamless_s2st.py:35-77): the
+    PRETSSEL vocoder agent reads the accumulated source audio for prosody."""
+    from seamless_communication_tpu.streaming.agents.pretssel_vocoder import (
+        PretsselVocoderAgent,
+    )
+    from seamless_communication_tpu.streaming.agents.vad import VADAgent
+
+    feat_agent = OnlineFeatureExtractorAgent(denormalize=denormalize)
+    # prosody input = the raw audio accumulated by the feature extractor's states
+    upstream_getter = lambda: sum((list(c) for c in feat_agent.states.source), [])
+    agents = []
+    if use_vad:
+        agents.append(VADAgent())
+    agents += [
+        feat_agent,
+        OfflineWav2VecBertEncoderAgent(unity_params, unity_cfg,
+                                       min_starting_wait=min_starting_wait_w2vbert),
+        UnitYMMATextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
+                                 tgt_lang=tgt_lang,
+                                 decision_threshold=decision_threshold),
+        NARUnitYUnitDecoderAgent(unity_params, unity_cfg, unit_tokenizer,
+                                 text_tokenizer, char_tokenizer,
+                                 min_unit_chunk_size=min_unit_chunk_size),
+        PretsselVocoderAgent(pretssel_params, pretssel_cfg,
+                             lang_to_index=lang_to_index, gcmvn_mean=gcmvn_mean,
+                             gcmvn_std=gcmvn_std, tgt_lang=tgt_lang,
+                             upstream_audio_getter=upstream_getter),
+    ]
+    return AgentPipeline(agents)
+
+
 class StreamingSession:
     """Push 320 ms source chunks, collect output segments — the host-side driver of
     an agent pipeline (simuleval evaluator inner loop)."""

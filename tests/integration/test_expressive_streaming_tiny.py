@@ -1,0 +1,90 @@
+"""Expressive streaming S2ST smoke test (PRETSSEL vocoder agent + VAD agent) and
+nano/micro arch builds."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seamless_communication_tpu.models.monotonic.model import (
+    MonotonicDecoderConfig, monotonic_decoder_init,
+)
+from seamless_communication_tpu.models.pretssel.ecapa_tdnn import EcapaConfig
+from seamless_communication_tpu.models.pretssel.streamable import SeanetConfig
+from seamless_communication_tpu.models.pretssel.vocoder import (
+    PretsselConfig, pretssel_init,
+)
+from seamless_communication_tpu.models.unity import model as unity
+from seamless_communication_tpu.models.unity.builder import get_arch
+from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
+from seamless_communication_tpu.models.vocoder.hifigan import HifiGanConfig
+from seamless_communication_tpu.streaming.pipeline import (
+    StreamingSession, build_expressive_s2st_pipeline,
+)
+from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+from seamless_communication_tpu.text.nllb import NllbTokenizer
+from seamless_communication_tpu.text.spm import (
+    SentencePieceModel, build_spm_model, TYPE_CONTROL, TYPE_NORMAL, TYPE_UNKNOWN,
+)
+
+
+def test_nano_micro_archs_build():
+    for name, dim in [("seamless_nano", 256), ("seamless_micro", 512)]:
+        cfg = get_arch(name)
+        assert cfg.model_dim == dim
+        assert cfg.speech.fbank_stride == 4
+        assert cfg.nllb.vocab_size == 20010
+        assert cfg.ar_t2u is not None
+
+
+def test_expressive_streaming_pipeline():
+    cfg = get_arch("tiny_v2")
+    base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+            ("</s>", 0.0, TYPE_CONTROL)]
+    words = ["▁aa", "▁bb", ",", "."] + ["▁"] + list("ab")
+    text_tok = NllbTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+        base + [(w, -2.0, TYPE_NORMAL) for w in words])), langs=["__eng__"])
+    char_tok = CharTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+        base + [(c, -1.0, TYPE_NORMAL) for c in ["▁", "a", "b", ",", "."]])))
+    unit_tok = UnitTokenizer(100, ["eng"], "base_v2")
+
+    unity_params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    mono_cfg = MonotonicDecoderConfig(model_dim=64, num_layers=2, num_heads=4,
+                                      ffn_inner_dim=128, vocab_size=256,
+                                      num_monotonic_energy_layers=2)
+    mono_params = monotonic_decoder_init(jax.random.PRNGKey(1), mono_cfg)
+
+    pcfg = PretsselConfig(
+        num_units=112, model_dim=32, num_heads=2, ffn_inner_dim=64,
+        conv_kernel_size=5, num_encoder_layers=1, num_decoder_layers=1,
+        num_langs=4, lang_embed_dim=8, prosody_dim=16, pn_conv_dim=16,
+        pn_layers=2, pn_kernel_size=5, dur_predictor_hidden=16,
+        hifigan=HifiGanConfig(model_in_dim=80, upsample_initial_channel=32,
+                              upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),)),
+        seanet=SeanetConfig(dimension=16, n_filters=4, ratios=(4, 2), lstm=1),
+        ecapa=EcapaConfig(channels=(16, 16, 16, 16, 32),
+                          kernel_sizes=(5, 3, 3, 3, 1), dilations=(1, 2, 3, 4, 1),
+                          attention_channels=8, res2net_scale=4, se_channels=8,
+                          groups=(1,) * 5, embed_dim=16, input_dim=80))
+    pparams = pretssel_init(jax.random.PRNGKey(2), pcfg)
+
+    pipe = build_expressive_s2st_pipeline(
+        unity_params, cfg, mono_params, mono_cfg, text_tok, unit_tok, char_tok,
+        pparams, pcfg, {"eng": 0}, np.zeros(80), np.ones(80),
+        tgt_lang="eng", min_starting_wait_w2vbert=16, decision_threshold=0.4,
+        min_unit_chunk_size=5)
+    # bound generation lengths for test speed
+    pipe.agents[2].max_len_b = 10
+    pipe.agents[2].max_consecutive_writes = 5
+
+    wav = (0.1 * np.sin(2 * np.pi * 280 * np.arange(24000) / 16000)).astype(np.float32)
+    session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
+    finished = False
+    wav_out = 0
+    for _, seg in session.run(wav):
+        finished = finished or seg.finished
+        if getattr(seg, "sample_rate", None) and seg.content is not None:
+            wav_out += np.asarray(seg.content).size
+    assert finished
