@@ -159,6 +159,30 @@ class Transcriber:
                                                         t.prob))
         return result
 
+    def lid_scores(self, waveform: np.ndarray, *, topk: int = 5) -> dict:
+        """Language identification: probability over language tokens at the first
+        decode position given prefix [eos] (reference unity_lib Result LID scores,
+        ggml/examples/unity/unity_lib.h:20-25)."""
+        fbank, flens = self.translator._audio_to_fbank(np.asarray(waveform,
+                                                                  np.float32))
+        enc = self.translator.generator._encode_speech_fn()(
+            self.params, jnp.asarray(fbank), jnp.asarray(flens))
+        from seamless_communication_tpu.models.nllb.model import (
+            text_decoder_cache, text_decoder_step,
+        )
+        cache = text_decoder_cache(self.params["text_decoder"], self.cfg.nllb,
+                                   enc.seqs, 4)
+        logits, _ = text_decoder_step(
+            self.params["text_decoder"],
+            jnp.full((enc.seqs.shape[0], 1), self.cfg.nllb.eos_idx, jnp.int32),
+            cache, jnp.int32(0), self.cfg.nllb,
+            enc_padding_mask=enc.padding_mask)
+        probs = np.asarray(jax.nn.softmax(logits[0]))
+        lang_ids = {tok: tid for tok, tid in self.text_tokenizer.lang_to_id.items()}
+        scores = {tok: float(probs[tid]) for tok, tid in lang_ids.items()}
+        top = dict(sorted(scores.items(), key=lambda kv: -kv[1])[:topk])
+        return top
+
     def _transcribe_segment(self, wav: np.ndarray, src_lang: str) -> Transcription:
         fbank, flens = self.translator._audio_to_fbank(wav)
         enc = self.translator.generator._encode_speech_fn()(

@@ -122,6 +122,24 @@ def pretssel_init(key: jax.Array, cfg: PretsselConfig, *, dtype=jnp.float32) -> 
     }
 
 
+def pretssel_16khz_config() -> PretsselConfig:
+    """Reference arch ``16khz`` (generator/builder.py:160): mel hop 160x upsample."""
+    return PretsselConfig(
+        hifigan=HifiGanConfig(model_in_dim=80, upsample_rates=(5, 4, 4, 2),
+                              upsample_kernel_sizes=(10, 8, 8, 4),
+                              upsample_initial_channel=512),
+        seanet=SeanetConfig(ratios=(8, 5, 4, 2), lstm=2))
+
+
+def pretssel_24khz_config() -> PretsselConfig:
+    """Reference arch ``24khz`` (generator/builder.py:210): 240x to 24 kHz."""
+    return PretsselConfig(
+        hifigan=HifiGanConfig(model_in_dim=80, upsample_rates=(5, 4, 4, 3),
+                              upsample_kernel_sizes=(10, 8, 8, 6),
+                              upsample_initial_channel=512),
+        seanet=SeanetConfig(ratios=(8, 5, 4, 2), lstm=2))
+
+
 class PretsselOutput(NamedTuple):
     waveform: jax.Array       # (B, T_wav)
     sample_lengths: jax.Array

@@ -70,14 +70,59 @@ def s2t_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
                                    label_smoothing=label_smoothing)
 
 
+def s2st_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
+              label_smoothing: float = 0.2):
+    """SPEECH_TO_SPEECH mode: S2T NLL + T2U NLL (reference CalcLoss,
+    trainer.py:155-202). The AR T2U consumes teacher-forced text-decoder features;
+    batch additionally carries prev_units/target_units/unit_lens."""
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.unity.t2u import (
+        ar_t2u_decoder_step, ar_t2u_encode,
+    )
+    from seamless_communication_tpu.ops.masks import (
+        causal_mask, lengths_to_padding_mask,
+    )
+    from seamless_communication_tpu.ops.transformer import (
+        embedding_frontend, tied_projection, transformer_decoder,
+    )
+
+    s2t, n_text = s2t_loss(params, cfg, batch, label_smoothing=label_smoothing)
+    if cfg.ar_t2u is None:
+        return s2t, n_text
+
+    enc = unity.encode_speech(params, cfg, batch["fbank"], batch["fbank_lens"])
+    feats = unity.decode_text(params, cfg, batch["prev_tokens"], enc,
+                              self_lengths=batch["target_lens"])
+    tcfg = cfg.ar_t2u
+    t2u_enc, t2u_mask = ar_t2u_encode(params["t2u"], tcfg, feats,
+                                      batch["target_lens"])
+    x = embedding_frontend(params["t2u"]["embed"], batch["prev_units"],
+                           tcfg.dec_cfg(),
+                           padding_mask=lengths_to_padding_mask(
+                               batch["unit_lens"], batch["prev_units"].shape[1]))
+    dec = transformer_decoder(params["t2u"]["decoder"], x, tcfg.dec_cfg(),
+                              enc_out=t2u_enc, enc_padding_mask=t2u_mask)
+    unit_logits = tied_projection(params["t2u"]["embed"], dec)
+    t2u, n_units = label_smoothed_nll_loss(unit_logits, batch["target_units"],
+                                           pad_idx=tcfg.pad_idx,
+                                           label_smoothing=label_smoothing)
+    # token-count-weighted sum so per-token normalization stays meaningful
+    return s2t + t2u, n_text + n_units
+
+
 def make_train_step(cfg: UnitYConfig, optimizer, *,
                     label_smoothing: float = 0.2,
                     loss_fn: Optional[Callable] = None,
+                    mode: "FinetuneMode" = None,
                     frozen_predicate: Optional[Callable] = None):
     """Build the jittable (params, opt_state, batch) -> (params, opt_state, metrics)
     train step. Gradient reduction over the data axis is inserted by XLA from the
     shardings — no explicit collectives needed."""
-    loss_fn = loss_fn or partial(s2t_loss, label_smoothing=label_smoothing)
+    if loss_fn is None:
+        base = (s2st_loss if mode is not None
+                and mode == FinetuneMode.SPEECH_TO_SPEECH else s2t_loss)
+        loss_fn = partial(base, label_smoothing=label_smoothing)
 
     def step(params, opt_state, batch):
         def objective(p):
@@ -131,6 +176,7 @@ class UnitYFinetune:
             frozen.append("speech_encoder")
         step = make_train_step(cfg, self.optimizer,
                                label_smoothing=ft.label_smoothing,
+                               mode=ft.finetune_mode,
                                frozen_predicate=freeze_modules(*frozen)
                                if frozen else None)
         if mesh is not None:
