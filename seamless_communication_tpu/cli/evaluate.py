@@ -49,6 +49,11 @@ def main() -> None:
     parser.add_argument("--output_path", type=str, default="eval_out")
     parser.add_argument("--local_hf_path", type=str, default=None)
     parser.add_argument("--ref_field", type=str, default="tgt_text")
+    parser.add_argument("--compute_asr_bleu", action="store_true",
+                        help="for speech output: transcribe synthesized audio with "
+                             "this framework's own ASR and score BLEU vs refs "
+                             "(reference uses Whisper; hook a custom transcriber "
+                             "via eval_utils.compute_asr_bleu)")
     args = parser.parse_args()
 
     from seamless_communication_tpu.audio.wav import read_wav, resample, write_wav
@@ -108,6 +113,29 @@ def main() -> None:
             hyps, refs, lang=args.tgt_lang, task=args.task,
             output_path=str(out_dir / f"{args.task}_scores.json"))
         logger.info("metrics: %s", json.dumps(metrics))
+    elif args.compute_asr_bleu:
+        # ASR-BLEU on the synthesized waveforms with this framework's own ASR
+        from seamless_communication_tpu.cli.eval_utils import compute_asr_bleu
+        from seamless_communication_tpu.inference.transcriber import Transcriber
+
+        asr = Transcriber(params, cfg, text_tok)
+        wavs = []
+        for i in range(len(hyps)):
+            p = wav_dir / f"{i}.wav"
+            if p.exists():
+                w, sr = read_wav(str(p))
+                wavs.append(resample(w, sr, 16000))
+            else:
+                wavs.append(np.zeros(400, np.float32))
+
+        def transcribe(batch):
+            return [asr.transcribe(w, args.tgt_lang).text for w in batch]
+
+        score = compute_asr_bleu(wavs, refs, transcribe=transcribe,
+                                 lang=args.tgt_lang)
+        with open(out_dir / "s2st_asr_bleu.json", "w") as f:
+            json.dump({"asr_bleu": score}, f)
+        logger.info("ASR-BLEU: %.2f", score)
 
 
 if __name__ == "__main__":
