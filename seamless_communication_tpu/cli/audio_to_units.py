@@ -20,7 +20,6 @@ def main() -> None:
     parser.add_argument("--out_layer_number", type=int, default=35)
     args = parser.parse_args()
 
-    import numpy as np
 
     from seamless_communication_tpu.audio.wav import read_wav, resample
     from seamless_communication_tpu.models.unit_extractor import (

@@ -13,10 +13,10 @@ Tokenizer files (sentencepiece .model) load through the native SPM implementatio
 from __future__ import annotations
 
 import logging
-from typing import Optional, Tuple
+from typing import Optional
 
 from seamless_communication_tpu.assets import load_card, resolve_asset
-from seamless_communication_tpu.models.unity.builder import UnitYConfig, get_arch
+from seamless_communication_tpu.models.unity.builder import get_arch
 from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
 from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
 from seamless_communication_tpu.text.nllb import NllbTokenizer

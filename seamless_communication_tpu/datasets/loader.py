@@ -9,7 +9,7 @@ Replaces the fairseq2 DataPipeline with a plain generator; fbank runs on host nu
 from __future__ import annotations
 
 import json
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

@@ -13,9 +13,8 @@ tokenization and the char-frontend preprocessing.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Optional, Sequence
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -32,7 +31,6 @@ from seamless_communication_tpu.ops.beam_search import (
     BeamSearchOptions, beam_search, make_banned_sequence_processor,
     make_ngram_repeat_block,
 )
-from seamless_communication_tpu.ops.masks import lengths_to_padding_mask
 from seamless_communication_tpu.text.char_frontend import text_to_char_seqs
 from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
 from seamless_communication_tpu.text.nllb import NllbTokenizer

@@ -5,8 +5,7 @@ the source utterance's gcmvn-normalized fbank as prosody input."""
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

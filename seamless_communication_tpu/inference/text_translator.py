@@ -7,7 +7,6 @@ components for pure MT deployments.
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -22,7 +21,6 @@ from seamless_communication_tpu.models.nllb.model import (
     NllbConfig, text_decoder_cache, text_decoder_step, text_encoder_forward,
 )
 from seamless_communication_tpu.ops.beam_search import BeamSearchOptions, beam_search
-from seamless_communication_tpu.ops.masks import mask_to_lengths
 from seamless_communication_tpu.text.nllb import NllbTokenizer
 
 

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from seamless_communication_tpu.inference.generator import UnitYGenerator, _bucket
+from seamless_communication_tpu.inference.generator import _bucket
 from seamless_communication_tpu.inference.translator import Translator
 from seamless_communication_tpu.models.unity import model as unity
 from seamless_communication_tpu.models.unity.builder import UnitYConfig
@@ -27,7 +27,6 @@ from seamless_communication_tpu.ops.masks import (
     causal_mask, combine_masks, lengths_to_padding_mask, padding_bias,
 )
 from seamless_communication_tpu.ops.modules import layer_norm, linear
-from seamless_communication_tpu.ops.positional import apply_sinusoidal_pos
 from seamless_communication_tpu.ops.transformer import embedding_frontend
 from seamless_communication_tpu.segment.vad import VADSegmenter
 from seamless_communication_tpu.text.nllb import NllbTokenizer

@@ -9,8 +9,7 @@ Optional MinTox re-decode hook mirrors translator.py:360-379.
 from __future__ import annotations
 
 import enum
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union
 
 import numpy as np

@@ -10,7 +10,7 @@ vectorized over the feature axis with ``lax.scan`` so it stays on device.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 

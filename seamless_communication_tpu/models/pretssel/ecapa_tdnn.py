@@ -16,7 +16,6 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from seamless_communication_tpu.ops.masks import apply_padding_mask
 from seamless_communication_tpu.ops.modules import (
     conv1d, conv1d_init, layer_norm, layer_norm_init, linear, linear_init,
 )

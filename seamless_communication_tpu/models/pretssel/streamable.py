@@ -9,7 +9,7 @@ right-trim, two-conv residual blocks (ELU, k=[3,1]), skip-connected LSTM. All in
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

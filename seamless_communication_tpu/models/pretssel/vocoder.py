@@ -16,7 +16,7 @@ Arch configs: builder.py:160-258 (16 kHz / 24 kHz).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ from seamless_communication_tpu.models.pretssel.ecapa_tdnn import (
 from seamless_communication_tpu.models.pretssel.streamable import (
     SeanetConfig, seanet_forward, seanet_init,
 )
-from seamless_communication_tpu.models.unity.film import film_init
 from seamless_communication_tpu.models.unity.t2u import (
     NarT2UConfig, fft_layer, fft_layer_init, _alpha_sin_pos,
     variance_predictor, variance_predictor_init, durations_from_log,

@@ -40,7 +40,7 @@ from seamless_communication_tpu.ops.transformer import (
     transformer_decoder_step, transformer_encoder, transformer_stack_init,
     decoder_cache_init,
 )
-from seamless_communication_tpu.ops.upsample import hard_upsample, hard_upsample_ids
+from seamless_communication_tpu.ops.upsample import hard_upsample
 
 
 class NarT2UConfig(NamedTuple):

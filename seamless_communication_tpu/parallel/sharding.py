@@ -17,7 +17,7 @@ Scan-stacked layer params carry a leading layer axis -> specs shift right by one
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -5,7 +5,7 @@ streaming/agents/common.py:15-35 and unity_pipeline.py:155-243)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, List, Optional
 
 

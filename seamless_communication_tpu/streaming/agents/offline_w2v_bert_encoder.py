@@ -7,7 +7,6 @@ Fbank length is bucketed so each prefix length reuses a cached XLA program."""
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -8,7 +8,7 @@ the reference's WaveformToFbankConverter with standardize=False."""
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

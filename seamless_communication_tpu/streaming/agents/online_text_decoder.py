@@ -15,7 +15,6 @@ compiled program with the encoder length bucketed.
 from __future__ import annotations
 
 import math
-from functools import lru_cache
 from typing import List, Optional, Set
 
 import numpy as np

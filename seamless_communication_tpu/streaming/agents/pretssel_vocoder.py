@@ -11,8 +11,7 @@ expressive PRETSSEL agent per utterance (expressive flag / language support).
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ built-in energy VAD, segment/vad.py)."""
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import numpy as np
 

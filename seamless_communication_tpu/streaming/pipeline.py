@@ -4,7 +4,7 @@ decoder -> [detokenizer | NAR unit decoder -> vocoder]."""
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

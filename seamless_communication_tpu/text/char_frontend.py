@@ -16,7 +16,7 @@ Rules (merge_space_with_prev_subword=False, the default):
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

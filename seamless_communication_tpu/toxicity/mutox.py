@@ -7,7 +7,7 @@ embeddings plugs in (``embedder`` argument of ``MutoxClassifier.predict``).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

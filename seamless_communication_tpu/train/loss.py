@@ -4,7 +4,6 @@ with label_smoothing=0.2)."""
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
