@@ -38,10 +38,16 @@ def main() -> None:
     MAX_UNIT_LEN = 640
     BEAM = 5
 
+    import os
+
     cfg = get_arch("base_v2")
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     params = unity.unity_init(key, cfg, dtype=dtype)
+    quantized = bool(os.environ.get("BENCH_INT8"))
+    if quantized:
+        from seamless_communication_tpu.ops.quantization import quantize_params
+        params = quantize_params(params)
     voc_cfg = CodeHifiGanConfig()
     voc_params = code_hifigan_init(jax.random.PRNGKey(1), voc_cfg, dtype=dtype)
 
@@ -102,11 +108,11 @@ def main() -> None:
     rtf = float(np.median(times)) / AUDIO_SECONDS
     extra = {"compile_s": round(compile_s, 1),
              "p50_ms": round(float(np.median(times)) * 1000, 1),
+             "weights": "int8" if quantized else "bf16",
              "platform": str(jax.devices()[0]).strip()}
 
     # secondary batch-8 S2TT throughput (BASELINE.json config 2) — opt-in: its
     # extra beam compile can exceed the driver's bench time budget
-    import os
     if os.environ.get("BENCH_FULL"):
         B8 = 8
         fb8 = jnp.asarray(rng.standard_normal((B8, MAX_FRAMES, 80)), dtype)

@@ -40,7 +40,12 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int, *, bias: bool = True,
 
 
 def linear(params: dict, x: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
-    """y = x @ W (+ b). Accumulates in fp32 on the MXU, returns x.dtype."""
+    """y = x @ W (+ b). Accumulates in fp32 on the MXU, returns x.dtype.
+    Dispatches to the int8 weight-only path when the params were rewritten by
+    ops.quantization.quantize_params."""
+    if "weight_i8" in params:
+        from seamless_communication_tpu.ops.quantization import linear_quantized
+        return linear_quantized(params, x, accum_dtype=accum_dtype)
     w = params["weight"]
     y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=accum_dtype)
     b = params.get("bias")
@@ -82,7 +87,13 @@ def embedding_init(key: jax.Array, vocab_size: int, dim: int, *, dtype=jnp.float
 
 def embedding(params: dict, ids: jax.Array, *, scale: Optional[float] = None) -> jax.Array:
     """Token-id lookup; ``scale`` is the sqrt(dim) multiplier fairseq2's
-    ``StandardEmbedding`` applies inside transformer frontends."""
+    ``StandardEmbedding`` applies inside transformer frontends. Dispatches to the
+    int8 row-quantized table when present."""
+    if "embedding_i8" in params:
+        from seamless_communication_tpu.ops.quantization import (
+            embedding_lookup_quantized,
+        )
+        return embedding_lookup_quantized(params, ids, scale_mult=scale)
     e = params["embedding"][ids]
     if scale is not None:
         e = e * jnp.asarray(scale, e.dtype)

@@ -216,6 +216,12 @@ def embedding_frontend(embed_params: dict, ids: jax.Array, cfg: TransformerConfi
 
 
 def tied_projection(embed_params: dict, x: jax.Array) -> jax.Array:
-    """Logits via the tied embedding matrix (final_proj), fp32."""
+    """Logits via the tied embedding matrix (final_proj), fp32. Dispatches to the
+    int8 row-quantized table when present."""
+    if "embedding_i8" in embed_params:
+        from seamless_communication_tpu.ops.quantization import (
+            tied_projection_quantized,
+        )
+        return tied_projection_quantized(embed_params, x)
     w = embed_params["embedding"]
     return jnp.matmul(x, w.astype(x.dtype).T, preferred_element_type=jnp.float32)

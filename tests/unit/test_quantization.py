@@ -1,0 +1,93 @@
+"""int8 weight-only quantization: accuracy, pytree rewrite, end-to-end decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seamless_communication_tpu.ops.modules import linear, linear_init
+from seamless_communication_tpu.ops.quantization import (
+    linear_quantized, quantization_report, quantize_params, quantize_weight,
+)
+
+
+def test_quantize_roundtrip_accuracy():
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (256, 512)) * 0.02
+    q, s = quantize_weight(w)
+    deq = q.astype(jnp.float32) * s[None, :]
+    rel = float(jnp.max(jnp.abs(deq - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 1.0 / 100   # <= 1 lsb of 127
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 256))
+    y_ref = x @ w
+    y_q = linear_quantized({"weight_i8": q, "scale": s}, x)
+    err = float(jnp.max(jnp.abs(y_q - y_ref)) / (jnp.max(jnp.abs(y_ref)) + 1e-9))
+    assert err < 0.02
+
+
+def test_quantize_params_rewrites_and_linear_dispatches():
+    key = jax.random.PRNGKey(0)
+    params = {"q_proj": linear_init(key, 512, 512),
+              "layer_norm": {"scale": jnp.ones(512), "bias": jnp.zeros(512)}}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    y_ref = linear(params["q_proj"], x)
+    qp = quantize_params(params)
+    assert "weight_i8" in qp["q_proj"] and "weight" not in qp["q_proj"]
+    assert "scale" in qp["layer_norm"]          # untouched non-linear params
+    y_q = linear(qp["q_proj"], x)               # dispatch via linear()
+    rel = float(jnp.max(jnp.abs(y_q - y_ref)) / jnp.max(jnp.abs(y_ref)))
+    assert rel < 0.02
+    rep = quantization_report(qp)
+    assert rep["quantized_weight_bytes"] == 512 * 512
+
+
+def test_quantize_stacked_layers():
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 256, 256)) * 0.02
+    params = {"inner_proj": {"weight": w}}
+    qp = quantize_params(params)
+    assert qp["inner_proj"]["weight_i8"].shape == (3, 256, 256)
+    assert qp["inner_proj"]["scale"].shape == (3, 256)
+
+
+def test_quantized_embedding_and_tied_projection():
+    from seamless_communication_tpu.ops.modules import embedding, embedding_init
+    from seamless_communication_tpu.ops.transformer import tied_projection
+    p = embedding_init(jax.random.PRNGKey(0), 1000, 128)
+    qp = quantize_params({"embed": p}, min_size=1024)["embed"]
+    assert "embedding_i8" in qp and qp["row_scale"].shape == (1000,)
+    ids = jnp.asarray([[1, 5, 999]])
+    ref = embedding(p, ids, scale=128 ** 0.5)
+    got = embedding(qp, ids, scale=128 ** 0.5)
+    assert float(jnp.max(jnp.abs(ref - got)) / jnp.max(jnp.abs(ref))) < 0.01
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 128))
+    ref = tied_projection(p, x)
+    got = tied_projection(qp, x)
+    assert float(jnp.max(jnp.abs(ref - got)) / jnp.max(jnp.abs(ref))) < 0.02
+
+
+def test_quantized_unity_decode_close_to_fp():
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_size=1024)
+
+    rng = np.random.default_rng(0)
+    fbank = jnp.asarray(rng.standard_normal((1, 64, 80)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, 200, (1, 8)), jnp.int32)
+    lens = jnp.array([8], jnp.int32)
+
+    def fwd(p):
+        enc = unity.encode_speech(p, cfg, fbank, jnp.array([64]))
+        feats = unity.decode_text(p, cfg, ids, enc, self_lengths=lens)
+        return unity.project(p, feats)
+
+    ref = np.asarray(fwd(params))
+    got = np.asarray(fwd(qparams))
+    # logits drift bounded; argmax agreement high
+    agree = float(np.mean(ref.argmax(-1) == got.argmax(-1)))
+    assert agree >= 0.75, agree
+    assert np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9) < 0.2
