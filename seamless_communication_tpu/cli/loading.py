@@ -32,7 +32,8 @@ HF_REPO_FOR_CARD = {
 
 
 def load_unity_model_and_tokenizers(card_name: str, *, dtype=None,
-                                    local_hf_path: Optional[str] = None):
+                                    local_hf_path: Optional[str] = None,
+                                    quantize: bool = False):
     """-> (params, UnitYConfig, NllbTokenizer, UnitTokenizer, CharTokenizer|None)."""
     import jax.numpy as jnp
 
@@ -54,6 +55,9 @@ def load_unity_model_and_tokenizers(card_name: str, *, dtype=None,
         from transformers import SeamlessM4TModel
         model = SeamlessM4TModel.from_pretrained(src)
     params = to_jax(convert_hf_seamless_m4t_v2(model), dtype or jnp.bfloat16)
+    if quantize:
+        from seamless_communication_tpu.ops.quantization import quantize_params
+        params = quantize_params(params)
 
     # tokenizers
     spm_path = resolve_asset(card.get("tokenizer",

@@ -28,6 +28,8 @@ def add_inference_arguments(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--unit_generation_ngram_filtering", action="store_true")
     parser.add_argument("--duration_factor", type=float, default=1.0)
     parser.add_argument("--spkr", type=int, default=-1)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight-only quantization for faster decode")
     return parser
 
 
@@ -48,7 +50,7 @@ def main() -> None:
 
     _, out_mod = get_modalities_from_task_str(args.task)
     params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
-        args.model_name, local_hf_path=args.local_hf_path)
+        args.model_name, local_hf_path=args.local_hf_path, quantize=args.quantize)
     voc_params = voc_cfg = None
     idx_map = {}
     if out_mod is Modality.SPEECH:
