@@ -28,12 +28,13 @@ class DetokenizerAgent(GenericAgent):
         self.states.buffer = []
 
     def policy(self, states: AgentStates):
-        possible_full_words = "".join(
-            [str(c) for c in states.source if c is not None])
+        incoming = "".join(str(c) for c in states.source if c is not None)
         states.source = []
+        pending = "".join(getattr(states, "buffer", [])) + incoming
+        states.buffer = []
 
         if self.detokenize_only:
-            words = possible_full_words.replace(SPM_SPACE, " ")
+            words = pending.replace(SPM_SPACE, " ")
             if states.source_finished:
                 return WriteAction(TextSegment(content=words), finished=True)
             if len(words) == 0:
@@ -41,11 +42,14 @@ class DetokenizerAgent(GenericAgent):
             return WriteAction(TextSegment(content=words), finished=False)
 
         if states.source_finished:
-            return WriteAction(TextSegment(content=possible_full_words),
-                               finished=True)
-        # hold back the trailing partial word
-        last_space = possible_full_words.rfind(SPM_SPACE)
+            return WriteAction(
+                TextSegment(content=pending.replace(SPM_SPACE, " ").strip()),
+                finished=True)
+        # hold back the trailing partial word until the next ▁ arrives
+        last_space = pending.rfind(SPM_SPACE)
         if last_space <= 0:
+            states.buffer = [pending]
             return ReadAction()
-        full = possible_full_words[:last_space].replace(SPM_SPACE, " ").strip()
+        full = pending[:last_space].replace(SPM_SPACE, " ").strip()
+        states.buffer = [pending[last_space:]]
         return WriteAction(TextSegment(content=full), finished=False)
