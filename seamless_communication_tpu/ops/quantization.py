@@ -94,10 +94,16 @@ def quantize_params(params, *, include: Sequence[str] = DEFAULT_QUANT_SUFFIXES,
                 and leaf.size >= min_size and leaf.ndim >= 2)
 
     pred = predicate or default_pred
+    # preserve aliasing: tied subtrees (e.g. the shared NLLB embedding between
+    # text encoder/decoder) must stay one object, not duplicate int8 tables
+    seen: dict = {}
 
     def walk(node, path):
         if isinstance(node, dict):
+            if id(node) in seen:
+                return seen[id(node)]
             out = {}
+            seen[id(node)] = out
             for k, v in node.items():
                 if (k == "embedding" and hasattr(v, "size")
                         and v.size >= min_size and v.ndim == 2):

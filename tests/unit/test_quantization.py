@@ -67,6 +67,16 @@ def test_quantized_embedding_and_tied_projection():
     assert float(jnp.max(jnp.abs(ref - got)) / jnp.max(jnp.abs(ref))) < 0.02
 
 
+def test_quantize_preserves_tied_embeddings():
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    cfg = get_arch("tiny_v2")
+    p = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    assert p["text_encoder"]["embed"] is p["text_decoder"]["embed"]
+    qp = quantize_params(p, min_size=1024)
+    assert qp["text_encoder"]["embed"] is qp["text_decoder"]["embed"]
+
+
 def test_quantized_unity_decode_close_to_fp():
     from seamless_communication_tpu.models.unity import model as unity
     from seamless_communication_tpu.models.unity.builder import get_arch
