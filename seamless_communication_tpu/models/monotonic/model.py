@@ -197,3 +197,109 @@ def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
     pcs = pcs.transpose(1, 0, 2, 3).reshape(B, L * H, Sp)
     new_cache = MonotonicCache(nk, nv, cache.cross_k, cache.cross_v, cache.pooled_keys)
     return logits, out, pcs, new_cache
+
+
+def monotonic_write_burst(params: dict, cache: MonotonicCache, start_step: jax.Array,
+                          first_logits: jax.Array, first_pcs: jax.Array,
+                          cfg: MonotonicDecoderConfig, *,
+                          decision_threshold: float, decision_method: str,
+                          p_choose_start_layer: int, sp_valid: jax.Array,
+                          eos_idx: int, max_len: jax.Array, n_context: jax.Array,
+                          max_writes: int, source_finished: bool,
+                          enc_padding_mask=None):
+    """Run the EMMA write loop ON DEVICE: starting from the prefill's last
+    logits/p_choose, greedily emit up to ``max_writes`` tokens while the p_choose
+    statistic clears ``decision_threshold`` (reference policy loop,
+    online_text_decoder.py:303-387 — the stop conditions are reproduced exactly
+    for the default no_early_stop=False, block_ngrams=False configuration).
+
+    Returns (tokens (B=1 rows flattened -> (max_writes,)), feats (max_writes, D),
+    n_written, finished, cache). One compiled program replaces up to
+    ``max_writes`` host round-trips per streaming chunk."""
+    B = first_logits.shape[0]
+    D = cfg.model_dim
+    H = cfg.num_heads
+
+    def stat(pcs):
+        pl = pcs.reshape(B, cfg.num_layers, H, -1)[:, p_choose_start_layer:, :, :]
+        pl_last = jnp.take_along_axis(
+            pl, (sp_valid - 1).reshape(1, 1, 1, 1).astype(jnp.int32), axis=-1)[..., 0]
+        if decision_method == "min":
+            return jnp.min(pl_last)
+        if decision_method == "mean":
+            return jnp.mean(pl_last)
+        return jnp.median(pl_last.reshape(-1))
+
+    def cond(s):
+        cache, logits, pcs, n, step, done, finished, toks, feats = s
+        return (~done) & (n < max_writes)
+
+    def body(s):
+        cache, logits, pcs, n, step, done, finished, toks, feats = s
+        index = jnp.argmax(logits[0]).astype(jnp.int32)
+        prob = stat(pcs)
+        total = n_context - 2 + n  # generated tokens so far (minus [eos, lang])
+        cur_len = n_context + n    # full target length incl prefix
+        fin = ((index == eos_idx) | (cur_len > max_len)
+               | (jnp.asarray(source_finished) & (cur_len >= max_len)))
+        stop_read = (~jnp.asarray(source_finished)) & (prob < decision_threshold)
+        stop_len = cur_len >= max_len
+        do_write = ~(fin | stop_read | stop_len)
+
+        new_logits, feat, new_pcs, new_cache = monotonic_decode_step(
+            params, index.reshape(1, 1), cache, step, cfg,
+            enc_padding_mask=enc_padding_mask)
+        toks = jnp.where(do_write, toks.at[n].set(index), toks)
+        feats = jnp.where(do_write, feats.at[n].set(feat[0, 0]), feats)
+        cache = jax.tree.map(lambda new, old: jnp.where(do_write, new, old),
+                             new_cache, cache)
+        logits = jnp.where(do_write, new_logits, logits)
+        pcs = jnp.where(do_write, new_pcs, pcs)
+        n = jnp.where(do_write, n + 1, n)
+        step = jnp.where(do_write, step + 1, step)
+        done = ~do_write
+        finished = fin
+        return (cache, logits, pcs, n, step, done, finished, toks, feats)
+
+    init = (cache, first_logits, first_pcs, jnp.asarray(0, jnp.int32), start_step,
+            jnp.asarray(False), jnp.asarray(False),
+            jnp.zeros((max_writes,), jnp.int32),
+            jnp.zeros((max_writes, D), jnp.float32))
+    cache, logits, pcs, n, step, done, finished, toks, feats = \
+        jax.lax.while_loop(cond, body, init)
+    return toks, feats, n, finished, cache
+
+
+def monotonic_prefill(params: dict, tokens: jax.Array, n_tokens: jax.Array,
+                      cache: MonotonicCache, cfg: MonotonicDecoderConfig, *,
+                      enc_padding_mask=None):
+    """Decode ``tokens`` (B, T) sequentially inside ONE compiled program
+    (lax.scan over steps) — the streaming agents re-decode their full target
+    prefix every chunk (reference online_text_decoder.py:317), and per-token host
+    dispatch dominates latency on remote-attached TPUs.
+
+    Returns (last logits (B, V), features (B, T, D), last p_choose (B, L*H, Sp),
+    cache advanced by ``n_tokens`` steps; steps >= n_tokens still execute but a
+    masked cache write keeps them out of the KV state)."""
+    B, T = tokens.shape
+
+    def body(carry, idx):
+        cache, old_logits, old_pcs = carry
+        tok_t = jax.lax.dynamic_slice_in_dim(tokens, idx, 1, axis=1)
+        logits, feat, pcs, new_cache = monotonic_decode_step(
+            params, tok_t, cache, idx, cfg, enc_padding_mask=enc_padding_mask)
+        valid = idx < n_tokens
+        new_cache = MonotonicCache(
+            jnp.where(valid, new_cache.self_k, cache.self_k),
+            jnp.where(valid, new_cache.self_v, cache.self_v),
+            cache.cross_k, cache.cross_v, cache.pooled_keys)
+        logits = jnp.where(valid, logits, old_logits)
+        pcs = jnp.where(valid, pcs, old_pcs)
+        return (new_cache, logits, pcs), feat[:, 0]
+
+    dummy_logits = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    Sp = cache.pooled_keys.shape[1]
+    dummy_pcs = jnp.zeros((B, cfg.num_layers * cfg.num_heads, Sp), jnp.float32)
+    (cache, logits, pcs), feats = jax.lax.scan(
+        body, (cache, dummy_logits, dummy_pcs), jnp.arange(T))
+    return logits, feats.swapaxes(0, 1), pcs, cache

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from seamless_communication_tpu.models.monotonic.model import (
     MonotonicDecoderConfig, monotonic_decode_step, monotonic_decoder_cache,
+    monotonic_prefill, monotonic_write_burst,
 )
 from seamless_communication_tpu.streaming.agents.common import (
     AgentStates, GenericAgent, ReadAction, Segment, TextSegment, WriteAction,
@@ -90,6 +91,24 @@ class MMATextDecoderAgent(GenericAgent):
         self.prefix_indices = [self.eos_idx, text_tokenizer.lang_token(tgt_lang)]
         self._step = jax.jit(
             lambda p, tok, cache, step: monotonic_decode_step(p, tok, cache, step, cfg))
+        # one compiled program decodes the whole re-decoded context (per-token host
+        # dispatch dominates chunk latency otherwise); cache build is jitted too
+        self._prefill = jax.jit(
+            lambda p, toks, n, cache: monotonic_prefill(p, toks, n, cache, cfg))
+        self._cache = jax.jit(
+            lambda p, enc: monotonic_decoder_cache(p, cfg, enc, self.max_target_len))
+        # device-side write loop (default policy config): one program per chunk
+        self._burst = jax.jit(
+            lambda p, cache, step, logits, pcs, spv, maxlen, nctx, srcfin:
+            monotonic_write_burst(
+                p, cache, step, logits, pcs, cfg,
+                decision_threshold=self.decision_threshold,
+                decision_method=self.decision_method,
+                p_choose_start_layer=self.p_choose_start_layer,
+                sp_valid=spv, eos_idx=self.eos_idx, max_len=maxlen,
+                n_context=nctx, max_writes=self.max_consecutive_writes,
+                source_finished=srcfin),
+            static_argnames=("srcfin",))
         super().__init__(args)
 
     def build_states(self) -> DecoderAgentStates:
@@ -108,8 +127,7 @@ class MMATextDecoderAgent(GenericAgent):
         # pooled p_choose keys must not see padding: pass true length via mask —
         # pool_keys has no mask, so instead pad with edge values
         padded[0, enc.shape[0]:] = enc[-1]
-        return monotonic_decoder_cache(self.params, self.cfg,
-                                       jnp.asarray(padded), self.max_target_len)
+        return self._cache(self.params, jnp.asarray(padded))
 
     def _prob(self, pchoose: np.ndarray) -> float:
         H = self.cfg.num_heads
@@ -158,15 +176,42 @@ class MMATextDecoderAgent(GenericAgent):
         blocked_ngrams = self._get_blocked_ngrams(states.target_indices)
         feats: List[np.ndarray] = []
 
-        # decode the full context first (fresh cache each chunk), then extend
-        step = 0
-        logits = pchoose = None
-        for tok in context:
-            logits, feat, pchoose, cache = self._step(
-                self.params, jnp.asarray([[tok]], jnp.int32), cache,
-                jnp.asarray(step, jnp.int32))
-            feats.append(np.asarray(feat[0]))
-            step += 1
+        # decode the full context in ONE compiled program (fresh cache each chunk,
+        # reference semantics), then extend token-by-token
+        Tb = max(16, int(math.ceil(len(context) / 16)) * 16)
+        ctx = np.zeros((1, Tb), np.int32)
+        ctx[0, :len(context)] = context
+        logits, ctx_feats, pchoose, cache = self._prefill(
+            self.params, jnp.asarray(ctx), jnp.asarray(len(context), jnp.int32),
+            cache)
+        feats.append(np.asarray(ctx_feats[0, :len(context)]))
+        step = len(context)
+
+        # fast path: whole write loop on device (one program per chunk)
+        if not self.no_early_stop and blocked_ngrams is None:
+            sp_valid = max(1, -(-self._enc_valid // self.cfg.pre_decision_ratio))
+            toks, burst_feats, n_written, fin, cache = self._burst(
+                self.params, cache, jnp.asarray(step, jnp.int32), logits, pchoose,
+                jnp.asarray(sp_valid, jnp.int32),
+                jnp.asarray(self.max_len(states), jnp.int32),
+                jnp.asarray(len(context), jnp.int32),
+                bool(states.source_finished))
+            n_written = int(n_written)
+            pred_indices = [int(t) for t in np.asarray(toks[:n_written])]
+            feats.extend(np.asarray(burst_feats[i])[None]
+                         for i in range(n_written))
+            finished = bool(fin)
+            step += n_written
+            states.target_indices += pred_indices
+            if len(pred_indices) > 0 or finished:
+                finished = finished or (len(states.target_indices)
+                                        > self.max_len(states))
+                states.ngram_block_count = 0
+                return WriteAction(
+                    self.postprocess(states, pred_indices, finished, feats, cache,
+                                     step),
+                    finished=finished)
+            return ReadAction()
 
         while True:
             index = int(np.argmax(np.asarray(logits[0])))
@@ -186,7 +231,9 @@ class MMATextDecoderAgent(GenericAgent):
                         if str(all_idx[-n:]) in blocked_ngrams:
                             states.ngram_block_count += 1
                             pred_indices = pred_indices[:-(n - 1)] if n > 1 else pred_indices
-                            feats = feats[:len(context) + len(pred_indices)]
+                            # feats[0] holds the whole context block; one entry per
+                            # prediction follows
+                            feats = feats[:1 + len(pred_indices)]
                             hit = True
                             break
                         blocked_ngrams.add(str(all_idx[-n:]))
