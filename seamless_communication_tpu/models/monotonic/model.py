@@ -270,6 +270,17 @@ def monotonic_write_burst(params: dict, cache: MonotonicCache, start_step: jax.A
     return toks, feats, n, finished, cache
 
 
+def monotonic_encode_and_prefill(params: dict, tokens: jax.Array,
+                                 n_tokens: jax.Array, enc_out: jax.Array,
+                                 max_len: int, cfg: MonotonicDecoderConfig, *,
+                                 enc_padding_mask=None):
+    """Cache build + context prefill fused into one program (one device call per
+    streaming chunk instead of two)."""
+    cache = monotonic_decoder_cache(params, cfg, enc_out, max_len)
+    return monotonic_prefill(params, tokens, n_tokens, cache, cfg,
+                             enc_padding_mask=enc_padding_mask)
+
+
 def monotonic_prefill(params: dict, tokens: jax.Array, n_tokens: jax.Array,
                       cache: MonotonicCache, cfg: MonotonicDecoderConfig, *,
                       enc_padding_mask=None):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from seamless_communication_tpu.models.monotonic.model import (
     MonotonicDecoderConfig, monotonic_decode_step, monotonic_decoder_cache,
-    monotonic_prefill, monotonic_write_burst,
+    monotonic_encode_and_prefill, monotonic_write_burst,
 )
 from seamless_communication_tpu.streaming.agents.common import (
     AgentStates, GenericAgent, ReadAction, Segment, TextSegment, WriteAction,
@@ -64,6 +64,9 @@ class UnitYTextDecoderOutput:
 class MMATextDecoderAgent(GenericAgent):
     source_type = "speech"
     target_type = "text"
+    # base agent's postprocess ignores decoder features — skip fetching them
+    # from device (saves (T, D) fp32 transfers per chunk through the tunnel)
+    needs_features = False
 
     def __init__(self, params: dict, cfg: MonotonicDecoderConfig,
                  text_tokenizer: NllbTokenizer, *, tgt_lang: str = "eng",
@@ -91,12 +94,11 @@ class MMATextDecoderAgent(GenericAgent):
         self.prefix_indices = [self.eos_idx, text_tokenizer.lang_token(tgt_lang)]
         self._step = jax.jit(
             lambda p, tok, cache, step: monotonic_decode_step(p, tok, cache, step, cfg))
-        # one compiled program decodes the whole re-decoded context (per-token host
-        # dispatch dominates chunk latency otherwise); cache build is jitted too
+        # one compiled program builds the cache AND decodes the whole re-decoded
+        # context (per-token host dispatch dominates chunk latency otherwise)
         self._prefill = jax.jit(
-            lambda p, toks, n, cache: monotonic_prefill(p, toks, n, cache, cfg))
-        self._cache = jax.jit(
-            lambda p, enc: monotonic_decoder_cache(p, cfg, enc, self.max_target_len))
+            lambda p, toks, n, enc: monotonic_encode_and_prefill(
+                p, toks, n, enc, self.max_target_len, cfg))
         # device-side write loop (default policy config): one program per chunk
         self._burst = jax.jit(
             lambda p, cache, step, logits, pcs, spv, maxlen, nctx, srcfin:
@@ -119,7 +121,7 @@ class MMATextDecoderAgent(GenericAgent):
 
     # ------------------------------------------------------------------
 
-    def _build_cache(self, enc: np.ndarray):
+    def _pad_encoder_output(self, enc: np.ndarray) -> np.ndarray:
         S = int(math.ceil(enc.shape[0] / self.enc_bucket)) * self.enc_bucket
         padded = np.zeros((1, S, enc.shape[1]), np.float32)
         padded[0, :enc.shape[0]] = enc
@@ -127,7 +129,7 @@ class MMATextDecoderAgent(GenericAgent):
         # pooled p_choose keys must not see padding: pass true length via mask —
         # pool_keys has no mask, so instead pad with edge values
         padded[0, enc.shape[0]:] = enc[-1]
-        return self._cache(self.params, jnp.asarray(padded))
+        return padded
 
     def _prob(self, pchoose: np.ndarray) -> float:
         H = self.cfg.num_heads
@@ -167,8 +169,7 @@ class MMATextDecoderAgent(GenericAgent):
                                finished=True)
 
         self._enforce_tgt_lang(states)
-        enc = np.asarray(states.source, np.float32)
-        cache = self._build_cache(enc)
+        enc_padded = self._pad_encoder_output(np.asarray(states.source, np.float32))
 
         context = self.prefix_indices + states.target_indices
         pred_indices: List[int] = []
@@ -183,13 +184,15 @@ class MMATextDecoderAgent(GenericAgent):
         ctx[0, :len(context)] = context
         logits, ctx_feats, pchoose, cache = self._prefill(
             self.params, jnp.asarray(ctx), jnp.asarray(len(context), jnp.int32),
-            cache)
-        feats.append(np.asarray(ctx_feats[0, :len(context)]))
+            jnp.asarray(enc_padded))
         step = len(context)
 
         # fast path: whole write loop on device (one program per chunk)
         if not self.no_early_stop and blocked_ngrams is None:
             sp_valid = max(1, -(-self._enc_valid // self.cfg.pre_decision_ratio))
+            # dispatch the burst BEFORE fetching any prefill output: jax dispatch
+            # is async, so the burst overlaps with the prefill result round-trip
+            # (matters through a high-RTT remote device tunnel)
             toks, burst_feats, n_written, fin, cache = self._burst(
                 self.params, cache, jnp.asarray(step, jnp.int32), logits, pchoose,
                 jnp.asarray(sp_valid, jnp.int32),
@@ -198,12 +201,14 @@ class MMATextDecoderAgent(GenericAgent):
                 bool(states.source_finished))
             n_written = int(n_written)
             pred_indices = [int(t) for t in np.asarray(toks[:n_written])]
-            feats.extend(np.asarray(burst_feats[i])[None]
-                         for i in range(n_written))
             finished = bool(fin)
             step += n_written
             states.target_indices += pred_indices
             if len(pred_indices) > 0 or finished:
+                if self.needs_features:
+                    feats.append(np.asarray(ctx_feats[0, :len(context)]))
+                    feats.extend(np.asarray(burst_feats[i])[None]
+                                 for i in range(n_written))
                 finished = finished or (len(states.target_indices)
                                         > self.max_len(states))
                 states.ngram_block_count = 0
@@ -213,6 +218,8 @@ class MMATextDecoderAgent(GenericAgent):
                     finished=finished)
             return ReadAction()
 
+        if self.needs_features:
+            feats.append(np.asarray(ctx_feats[0, :len(context)]))
         while True:
             index = int(np.argmax(np.asarray(logits[0])))
             prob = self._prob(np.asarray(pchoose[0]))
@@ -257,7 +264,8 @@ class MMATextDecoderAgent(GenericAgent):
             logits, feat, pchoose, cache = self._step(
                 self.params, jnp.asarray([[index]], jnp.int32), cache,
                 jnp.asarray(step, jnp.int32))
-            feats.append(np.asarray(feat[0]))
+            if self.needs_features:
+                feats.append(np.asarray(feat[0]))
             step += 1
 
         states.target_indices += pred_indices
@@ -286,6 +294,8 @@ class UnitYMMATextDecoderAgent(MMASpeechToTextDecoderAgent):
     """Variant feeding the downstream NAR unit decoder: emits the full decoder
     features and target token ids; appends a "," token for smooth speech
     (reference online_text_decoder.py:401-444)."""
+
+    needs_features = True
 
     def postprocess(self, states: DecoderAgentStates, pred_indices: List[int],
                     finished: bool, feats: List[np.ndarray], cache, step: int
