@@ -93,15 +93,17 @@ class MMATextDecoderAgent(GenericAgent):
         self.eos_idx = text_tokenizer.vocab_info.eos_idx
         self.prefix_indices = [self.eos_idx, text_tokenizer.lang_token(tgt_lang)]
         self._step = jax.jit(
-            lambda p, tok, cache, step: monotonic_decode_step(p, tok, cache, step, cfg))
+            lambda p, tok, cache, step, mask: monotonic_decode_step(
+                p, tok, cache, step, cfg, enc_padding_mask=mask))
         # one compiled program builds the cache AND decodes the whole re-decoded
         # context (per-token host dispatch dominates chunk latency otherwise)
         self._prefill = jax.jit(
-            lambda p, toks, n, enc: monotonic_encode_and_prefill(
-                p, toks, n, enc, self.max_target_len, cfg))
+            lambda p, toks, n, enc, mask: monotonic_encode_and_prefill(
+                p, toks, n, enc, self.max_target_len, cfg,
+                enc_padding_mask=mask))
         # device-side write loop (default policy config): one program per chunk
         self._burst = jax.jit(
-            lambda p, cache, step, logits, pcs, spv, maxlen, nctx, srcfin:
+            lambda p, cache, step, logits, pcs, spv, maxlen, nctx, srcfin, mask:
             monotonic_write_burst(
                 p, cache, step, logits, pcs, cfg,
                 decision_threshold=self.decision_threshold,
@@ -109,7 +111,7 @@ class MMATextDecoderAgent(GenericAgent):
                 p_choose_start_layer=self.p_choose_start_layer,
                 sp_valid=spv, eos_idx=self.eos_idx, max_len=maxlen,
                 n_context=nctx, max_writes=self.max_consecutive_writes,
-                source_finished=srcfin),
+                source_finished=srcfin, enc_padding_mask=mask),
             static_argnames=("srcfin",))
         super().__init__(args)
 
@@ -126,9 +128,10 @@ class MMATextDecoderAgent(GenericAgent):
         padded = np.zeros((1, S, enc.shape[1]), np.float32)
         padded[0, :enc.shape[0]] = enc
         self._enc_valid = enc.shape[0]
-        # pooled p_choose keys must not see padding: pass true length via mask —
-        # pool_keys has no mask, so instead pad with edge values
+        # pooled p_choose keys have no mask — pad with edge values; cross
+        # attention IS masked with the true length (matches the fused path)
         padded[0, enc.shape[0]:] = enc[-1]
+        self._enc_mask = jnp.asarray((np.arange(S) < enc.shape[0])[None, :])
         return padded
 
     def _prob(self, pchoose: np.ndarray) -> float:
@@ -184,7 +187,7 @@ class MMATextDecoderAgent(GenericAgent):
         ctx[0, :len(context)] = context
         logits, ctx_feats, pchoose, cache = self._prefill(
             self.params, jnp.asarray(ctx), jnp.asarray(len(context), jnp.int32),
-            jnp.asarray(enc_padded))
+            jnp.asarray(enc_padded), self._enc_mask)
         step = len(context)
 
         # fast path: whole write loop on device (one program per chunk)
@@ -198,7 +201,7 @@ class MMATextDecoderAgent(GenericAgent):
                 jnp.asarray(sp_valid, jnp.int32),
                 jnp.asarray(self.max_len(states), jnp.int32),
                 jnp.asarray(len(context), jnp.int32),
-                bool(states.source_finished))
+                bool(states.source_finished), self._enc_mask)
             n_written = int(n_written)
             pred_indices = [int(t) for t in np.asarray(toks[:n_written])]
             finished = bool(fin)
@@ -263,7 +266,7 @@ class MMATextDecoderAgent(GenericAgent):
             pred_indices.append(index)
             logits, feat, pchoose, cache = self._step(
                 self.params, jnp.asarray([[index]], jnp.int32), cache,
-                jnp.asarray(step, jnp.int32))
+                jnp.asarray(step, jnp.int32), self._enc_mask)
             if self.needs_features:
                 feats.append(np.asarray(feat[0]))
             step += 1
@@ -307,7 +310,7 @@ class UnitYMMATextDecoderAgent(MMASpeechToTextDecoderAgent):
             token_list = token_list + [comma]
             _, feat, _, cache = self._step(
                 self.params, jnp.asarray([[comma]], jnp.int32), cache,
-                jnp.asarray(step, jnp.int32))
+                jnp.asarray(step, jnp.int32), self._enc_mask)
             feats = feats + [np.asarray(feat[0])]
         features = np.concatenate(feats, axis=0)[None]   # (1, T, D)
         target_input = np.asarray([token_list], np.int64)

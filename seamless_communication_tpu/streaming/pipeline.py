@@ -39,8 +39,28 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                        min_starting_wait_w2vbert: int = 192,
                        decision_threshold: float = 0.5,
                        denormalize: bool = False, max_len_b: int = 200,
-                       max_consecutive_writes: int = 50) -> AgentPipeline:
-    """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43)."""
+                       max_consecutive_writes: int = 50,
+                       fused: bool = True) -> AgentPipeline:
+    """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43).
+
+    ``fused=True`` (default) runs encoder + monotonic prefill + EMMA write burst
+    as ONE compiled program per chunk (streaming/fused.py); ``fused=False`` keeps
+    the reference's separate encoder/decoder agents (needed for
+    ``no_early_stop`` / ``block_ngrams`` policy variants)."""
+    if fused:
+        from seamless_communication_tpu.streaming.fused import (
+            FusedMMASpeechToTextDecoderAgent,
+        )
+        return AgentPipeline([
+            OnlineFeatureExtractorAgent(denormalize=denormalize),
+            FusedMMASpeechToTextDecoderAgent(
+                unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
+                tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
+                max_len_b=max_len_b,
+                max_consecutive_writes=max_consecutive_writes,
+                decision_threshold=decision_threshold),
+            DetokenizerAgent(),
+        ])
     return AgentPipeline([
         OnlineFeatureExtractorAgent(denormalize=denormalize),
         OfflineWav2VecBertEncoderAgent(unity_params, unity_cfg,
@@ -65,16 +85,35 @@ def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                         min_unit_chunk_size: int = 50,
                         denormalize: bool = False, max_len_b: int = 200,
                         max_consecutive_writes: int = 50,
-                        text_bucket: int = 16) -> AgentPipeline:
-    """SeamlessStreaming S2ST pipeline (seamless_streaming_s2st.py:28-36)."""
-    return AgentPipeline([
-        OnlineFeatureExtractorAgent(denormalize=denormalize),
-        OfflineWav2VecBertEncoderAgent(unity_params, unity_cfg,
-                                       min_starting_wait=min_starting_wait_w2vbert),
-        UnitYMMATextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
-                                 tgt_lang=tgt_lang, max_len_b=max_len_b,
-                                 max_consecutive_writes=max_consecutive_writes,
-                                 decision_threshold=decision_threshold),
+                        text_bucket: int = 16,
+                        fused: bool = True) -> AgentPipeline:
+    """SeamlessStreaming S2ST pipeline (seamless_streaming_s2st.py:28-36).
+
+    ``fused=True`` (default) fuses encoder + monotonic prefill + write burst
+    into one compiled program per chunk (streaming/fused.py)."""
+    if fused:
+        from seamless_communication_tpu.streaming.fused import (
+            FusedUnitYMMATextDecoderAgent,
+        )
+        text_decoder = FusedUnitYMMATextDecoderAgent(
+            unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
+            tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
+            max_len_b=max_len_b, max_consecutive_writes=max_consecutive_writes,
+            decision_threshold=decision_threshold)
+        head = [OnlineFeatureExtractorAgent(denormalize=denormalize),
+                text_decoder]
+    else:
+        head = [
+            OnlineFeatureExtractorAgent(denormalize=denormalize),
+            OfflineWav2VecBertEncoderAgent(
+                unity_params, unity_cfg,
+                min_starting_wait=min_starting_wait_w2vbert),
+            UnitYMMATextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
+                                     tgt_lang=tgt_lang, max_len_b=max_len_b,
+                                     max_consecutive_writes=max_consecutive_writes,
+                                     decision_threshold=decision_threshold),
+        ]
+    return AgentPipeline(head + [
         NARUnitYUnitDecoderAgent(unity_params, unity_cfg, unit_tokenizer,
                                  text_tokenizer, char_tokenizer,
                                  min_unit_chunk_size=min_unit_chunk_size,
@@ -97,7 +136,8 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                                    decision_threshold: float = 0.5,
                                    min_unit_chunk_size: int = 50,
                                    denormalize: bool = False,
-                                   use_vad: bool = False) -> AgentPipeline:
+                                   use_vad: bool = False,
+                                   fused: bool = True) -> AgentPipeline:
     """SeamlessExpressive streaming S2ST (reference seamless_s2st.py:35-77): the
     PRETSSEL vocoder agent reads the accumulated source audio for prosody."""
     from seamless_communication_tpu.streaming.agents.pretssel_vocoder import (
@@ -111,13 +151,24 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
     agents = []
     if use_vad:
         agents.append(VADAgent())
-    agents += [
-        feat_agent,
-        OfflineWav2VecBertEncoderAgent(unity_params, unity_cfg,
-                                       min_starting_wait=min_starting_wait_w2vbert),
-        UnitYMMATextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
-                                 tgt_lang=tgt_lang,
-                                 decision_threshold=decision_threshold),
+    if fused:
+        from seamless_communication_tpu.streaming.fused import (
+            FusedUnitYMMATextDecoderAgent,
+        )
+        text_agents = [FusedUnitYMMATextDecoderAgent(
+            unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
+            tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
+            decision_threshold=decision_threshold)]
+    else:
+        text_agents = [
+            OfflineWav2VecBertEncoderAgent(
+                unity_params, unity_cfg,
+                min_starting_wait=min_starting_wait_w2vbert),
+            UnitYMMATextDecoderAgent(mono_params, mono_cfg, text_tokenizer,
+                                     tgt_lang=tgt_lang,
+                                     decision_threshold=decision_threshold),
+        ]
+    agents += [feat_agent] + text_agents + [
         NARUnitYUnitDecoderAgent(unity_params, unity_cfg, unit_tokenizer,
                                  text_tokenizer, char_tokenizer,
                                  min_unit_chunk_size=min_unit_chunk_size),

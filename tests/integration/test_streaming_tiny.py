@@ -120,3 +120,21 @@ def test_streaming_evaluator(setup):
                                  tgt_lang="eng")
     assert "bleu" in metrics and "AL_ms" in metrics and "LAAL_ms" in metrics
     assert metrics["num_instances"] == 1
+
+
+def test_fused_matches_unfused_s2t(setup):
+    """The one-program-per-chunk fused agent (streaming/fused.py) must emit the
+    exact same token sequence as the separate encoder + decoder agents."""
+    s = setup
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)).astype(np.float32)
+    kw = dict(tgt_lang="eng", min_starting_wait_w2vbert=16,
+              decision_threshold=0.001, max_len_b=12, max_consecutive_writes=6)
+    toks = {}
+    for fused in (False, True):
+        pipe = build_s2t_pipeline(
+            s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"],
+            s["text_tok"], fused=fused, **kw)
+        list(StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng").run(wav))
+        dec = pipe.agents[1 if fused else 2]
+        toks[fused] = list(dec.states.target_indices)
+    assert toks[True] == toks[False] and len(toks[True]) > 0
