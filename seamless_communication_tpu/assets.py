@@ -20,15 +20,26 @@ _GATED = {"seamless_expressivity", "vocoder_pretssel", "vocoder_pretssel_16khz"}
 
 
 def load_card(name: str, *, cards_dir: Optional[Path] = None) -> Dict[str, Any]:
-    """Load a card by name, resolving ``base:`` inheritance (child wins)."""
-    cards_dir = cards_dir or CARDS_DIR
+    """Load a card by name, resolving ``base:`` inheritance (child wins).
+
+    Custom cards: set ``SEAMLESS_CARDS_DIR`` to a directory of extra .yaml
+    cards — it is searched first, falling back to the packaged cards (so user
+    cards can still inherit from packaged ones via ``base:``)."""
+    if cards_dir is None:
+        user_dir = os.environ.get("SEAMLESS_CARDS_DIR")
+        if user_dir and (Path(user_dir) / f"{name}.yaml").exists():
+            cards_dir = Path(user_dir)
+        else:
+            cards_dir = CARDS_DIR
     path = cards_dir / f"{name}.yaml"
     if not path.exists():
         raise FileNotFoundError(f"no asset card {name!r} in {cards_dir}")
     with open(path) as f:
         card = yaml.safe_load(f)
     if "base" in card:
-        base = load_card(card["base"], cards_dir=cards_dir)
+        # resolve the base by name again (user dir first, then packaged) so
+        # custom cards can inherit from packaged ones
+        base = load_card(card["base"])
         merged = dict(base)
         merged.update({k: v for k, v in card.items() if k != "base"})
         card = merged

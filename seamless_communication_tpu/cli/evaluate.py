@@ -81,17 +81,52 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     hyps, refs = [], []
     wav_dir = out_dir / "wavs"
-    for batch in batched(read_manifest(args.data_file, args.audio_root_dir),
-                         args.batch_size):
+    # native C++ loader: threaded wav->fbank extraction prefetched off the
+    # TPU critical path (native/dataloader.cpp); falls back to the Python
+    # read_wav+fbank path when the toolchain/library is unavailable
+    native_batches = None
+    if in_mod is Modality.SPEECH:
+        try:
+            from seamless_communication_tpu.inference.translator import FbankInput
+            from seamless_communication_tpu.native import NativeFbankLoader
+
+            rows = list(read_manifest(args.data_file, args.audio_root_dir))
+            paths = [str(Path(args.audio_root_dir) / r["audio"]) for r in rows]
+            loader = NativeFbankLoader(paths, batch_size=args.batch_size)
+            native_batches = zip(batched(iter(rows), args.batch_size), loader)
+            logger.info("using native data loader (%d files)", len(paths))
+        except (RuntimeError, KeyError):
+            native_batches = None
+
+    def _speech_batches():
+        if native_batches is not None:
+            for batch, (fb, lens) in native_batches:
+                yield batch, FbankInput(fbank=fb, lengths=lens)
+            return
+        for batch in batched(read_manifest(args.data_file, args.audio_root_dir),
+                             args.batch_size):
+            wavs = []
+            for r in batch:
+                w, sr = read_wav(str(Path(args.audio_root_dir) / r["audio"]))
+                wavs.append(resample(w, sr, 16000))
+            yield batch, wavs
+
+    batch_iter = (_speech_batches() if in_mod is Modality.SPEECH else
+                  ((b, None) for b in batched(
+                      read_manifest(args.data_file, args.audio_root_dir),
+                      args.batch_size)))
+    for batch, speech_input in batch_iter:
         refs.extend(r.get(args.ref_field, "") for r in batch)
         try:
             if in_mod is Modality.SPEECH:
-                wavs = []
-                for r in batch:
-                    w, sr = read_wav(str(Path(args.audio_root_dir) / r["audio"]))
-                    wavs.append(resample(w, sr, 16000))
-                texts, speech = translator.predict(wavs, args.task, args.tgt_lang,
+                texts, speech = translator.predict(speech_input, args.task,
+                                                   args.tgt_lang,
                                                    src_lang=args.src_lang)
+                if isinstance(speech_input, FbankInput):
+                    # corrupted inputs (length 0) -> empty hypotheses
+                    # (reference evaluate.py:205-245)
+                    texts = ["" if speech_input.lengths[i] == 0 else t
+                             for i, t in enumerate(texts)]
             else:
                 texts, speech = translator.predict(
                     [r["src_text"] for r in batch], args.task, args.tgt_lang,

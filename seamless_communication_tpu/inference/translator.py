@@ -70,6 +70,16 @@ class BatchedSpeechOutput:
     sample_rate: int = 16000
 
 
+@dataclass
+class FbankInput:
+    """Precomputed RAW log-mel features (e.g. from the native C++ loader,
+    native/dataloader.cpp) — predict() applies the model card's fbank
+    normalization itself. fbank (B, T, n_mels) zero-padded, lengths (B,);
+    length 0 marks a corrupted input (reference evaluate.py:205-245)."""
+    fbank: np.ndarray
+    lengths: np.ndarray
+
+
 class Translator:
     def __init__(self, params: dict, cfg: UnitYConfig,
                  text_tokenizer: NllbTokenizer,
@@ -116,6 +126,23 @@ class Translator:
         elif self.normalize_fbank == "per_mel_bin":
             feats = [normalize_per_mel_bin(f) for f in feats]
         lens = np.array([f.shape[0] for f in feats], np.int32)
+        return self._pad_feats(feats, lens)
+
+    def _normalize_fbank_batch(self, fb: FbankInput
+                               ) -> tuple[np.ndarray, np.ndarray]:
+        """Apply the card's fbank normalization to precomputed raw log-mels,
+        using only the valid frames of each item."""
+        lens = np.asarray(fb.lengths, np.int32)
+        feats = [np.asarray(fb.fbank[i, :L], np.float32)
+                 for i, L in enumerate(lens)]
+        if self.normalize_fbank == "utterance":
+            feats = [((f - f.mean()) / (f.std() + 1e-7)).astype(np.float32)
+                     if f.size else f for f in feats]
+        elif self.normalize_fbank == "per_mel_bin":
+            feats = [normalize_per_mel_bin(f) if f.size else f for f in feats]
+        return self._pad_feats(feats, np.maximum(lens, 1))
+
+    def _pad_feats(self, feats, lens) -> tuple[np.ndarray, np.ndarray]:
         T = _bucket(int(lens.max()), 128)
         out = np.zeros((len(feats), T, self.fbank_cfg.num_mel_bins), np.float32)
         for i, f in enumerate(feats):
@@ -138,7 +165,10 @@ class Translator:
         in_mod, out_mod = get_modalities_from_task_str(task_str)
 
         if in_mod is Modality.SPEECH:
-            fbank, flens = self._audio_to_fbank(input, sample_rate)
+            if isinstance(input, FbankInput):
+                fbank, flens = self._normalize_fbank_batch(input)
+            else:
+                fbank, flens = self._audio_to_fbank(input, sample_rate)
             enc = self.generator._encode_speech_fn()(
                 self.params, jnp.asarray(fbank), jnp.asarray(flens))
         else:

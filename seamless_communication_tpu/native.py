@@ -56,6 +56,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.seamless_loader_create.restype = ctypes.c_void_p
+    lib.seamless_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.seamless_loader_next_meta.restype = ctypes.c_int
+    lib.seamless_loader_next_meta.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.seamless_loader_next_data.restype = ctypes.c_int
+    lib.seamless_loader_next_data.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.seamless_loader_destroy.restype = None
+    lib.seamless_loader_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -78,6 +94,61 @@ def fbank_native(waveform: np.ndarray, *, num_mel_bins: int = 80,
     if n < 0:
         return None
     return out[:n]
+
+
+class NativeFbankLoader:
+    """Threaded C++ wav->fbank batch loader (native/dataloader.cpp).
+
+    Iterates (fbank (B, T_padded, n_mels) float32, lengths (B,) int32) batches in
+    file order; unreadable/corrupted files come back with length 0 for the caller
+    to mask (reference evaluate.py:205-245). Construction raises RuntimeError if
+    the native library is unavailable — callers fall back to the Python path.
+    """
+
+    def __init__(self, paths, *, batch_size: int = 8, n_mels: int = 80,
+                 bucket: int = 128, n_threads: int = 4):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.paths = [str(p) for p in paths]
+        self.n_mels = n_mels
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths])
+        self._arr = arr  # keep alive
+        self._h = lib.seamless_loader_create(arr, len(self.paths), batch_size,
+                                             n_mels, bucket, n_threads)
+        if not self._h:
+            raise RuntimeError("loader creation failed")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        frames = ctypes.c_int64(0)
+        n = self._lib.seamless_loader_next_meta(self._h, ctypes.byref(frames))
+        if n <= 0:
+            raise StopIteration
+        out = np.empty((n, frames.value, self.n_mels), np.float32)
+        lengths = np.empty(n, np.int32)
+        got = self._lib.seamless_loader_next_data(
+            self._h, frames.value,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if got != n:
+            raise RuntimeError("loader batch copy failed")
+        return out, lengths
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.seamless_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def wav_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:

@@ -35,3 +35,69 @@ def test_native_wav_decode(tmp_path, sig):
     wav, rate = got
     assert rate == 16000
     np.testing.assert_allclose(wav, sig, atol=2e-4)
+
+
+def test_native_loader_batches(tmp_path):
+    """Threaded C++ wav->fbank loader: file order, padding, lengths, parity with
+    the python fbank, and corrupted-file handling (length 0)."""
+    from seamless_communication_tpu.native import NativeFbankLoader
+
+    rng = np.random.default_rng(0)
+    paths, quantized = [], {}
+    for i in range(7):
+        n = int(16000 * (0.4 + 0.25 * i))
+        wav = (0.1 * np.sin(2 * np.pi * (200 + 20 * i) * np.arange(n) / 16000)
+               + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        p = tmp_path / f"{i}.wav"
+        write_wav(str(p), wav, 16000)
+        # the loader sees the PCM16 round-trip
+        quantized[str(p)] = ((np.clip(wav, -1, 1) * 32767.0).astype(np.int16)
+                             / 32768.0).astype(np.float32)
+        paths.append(str(p))
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav at all")
+    paths.insert(3, str(bad))
+
+    loader = NativeFbankLoader(paths, batch_size=3, n_mels=80, bucket=64,
+                               n_threads=4)
+    idx = 0
+    for fb, lens in loader:
+        assert fb.shape[1] % 64 == 0
+        for b in range(fb.shape[0]):
+            if paths[idx] == str(bad):
+                assert lens[b] == 0
+            else:
+                ref = fbank_numpy(quantized[paths[idx]])
+                assert lens[b] == ref.shape[0]
+                np.testing.assert_allclose(fb[b, :lens[b]], ref, atol=1e-4)
+                assert np.all(fb[b, lens[b]:] == 0)
+            idx += 1
+    assert idx == len(paths)
+    loader.close()
+
+
+def test_native_loader_resamples(tmp_path):
+    """Non-16k input is sinc-resampled in C++; frame count must match the python
+    (scipy polyphase) path and features must agree closely."""
+    scipy = pytest.importorskip("scipy")
+    from seamless_communication_tpu.audio.wav import resample
+    from seamless_communication_tpu.native import NativeFbankLoader
+
+    rng = np.random.default_rng(1)
+    n = int(22050 * 0.7)
+    # broadband component keeps all mel bins above the log floor, where the two
+    # resampler families (C++ windowed-sinc vs scipy polyphase) agree closely;
+    # a pure tone would compare noise floors through the log instead
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(n) / 22050)
+           + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    p = tmp_path / "x22k.wav"
+    write_wav(str(p), wav, 22050)
+    q = ((np.clip(wav, -1, 1) * 32767.0).astype(np.int16) / 32768.0
+         ).astype(np.float32)
+    ref = fbank_numpy(resample(q, 22050, 16000))
+
+    fb, lens = next(iter(NativeFbankLoader([str(p)], batch_size=1)))
+    assert abs(int(lens[0]) - ref.shape[0]) <= 1
+    L = min(int(lens[0]), ref.shape[0])
+    # different resampler families: compare mean abs diff on log-mels
+    assert float(np.abs(fb[0, :L] - ref[:L]).mean()) < 0.05
