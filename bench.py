@@ -29,6 +29,7 @@ def main() -> None:
         CodeHifiGanConfig, code_hifigan_forward, code_hifigan_init,
     )
     from seamless_communication_tpu.ops.beam_search import BeamSearchOptions, beam_search
+    from seamless_communication_tpu.ops.transformer import decoder_cache_beam_reorder
     from seamless_communication_tpu.audio.fbank import fbank_jax
 
     AUDIO_SECONDS = 10.0
@@ -70,8 +71,9 @@ def main() -> None:
         step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
         opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN, min_len=TEXT_MAX_LEN - 8,
                                  pad_idx=0, unk_idx=1, eos_idx=3)
-        res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN), prefix,
-                          jnp.array([2], jnp.int32), opts, V)
+        res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, True), prefix,
+                          jnp.array([2], jnp.int32), opts, V,
+                          cache_reorder=decoder_cache_beam_reorder)
         tokens = res.tokens[:, 0]
         tok_lens = res.lengths[:, 0]
 
@@ -111,6 +113,7 @@ def main() -> None:
     extra = {"compile_s": round(compile_s, 1),
              "p50_ms": round(float(np.median(times)) * 1000, 1),
              "weights": "int8" if quantized else "bf16",
+             "kv_cache": "int8",
              "platform": str(jax.devices()[0]).strip()}
 
     # secondary batch-8 S2TT throughput (BASELINE.json config 2) — opt-in: its
@@ -129,8 +132,9 @@ def main() -> None:
             opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
                                      min_len=TEXT_MAX_LEN - 8, pad_idx=0,
                                      unk_idx=1, eos_idx=3)
-            res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN), prefix,
-                              jnp.full((B8,), 2, jnp.int32), opts, V)
+            res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, True), prefix,
+                              jnp.full((B8,), 2, jnp.int32), opts, V,
+                              cache_reorder=decoder_cache_beam_reorder)
             return res.tokens
 
         s2tt_fn = jax.jit(s2tt)

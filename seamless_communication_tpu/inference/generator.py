@@ -31,6 +31,7 @@ from seamless_communication_tpu.ops.beam_search import (
     BeamSearchOptions, beam_search, make_banned_sequence_processor,
     make_ngram_repeat_block,
 )
+from seamless_communication_tpu.ops.transformer import decoder_cache_beam_reorder
 from seamless_communication_tpu.text.char_frontend import text_to_char_seqs
 from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
 from seamless_communication_tpu.text.nllb import NllbTokenizer
@@ -121,7 +122,8 @@ class UnitYGenerator:
                                                                 banned_lens, V))
                 cache = cache_fn(max_len)
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
-                                   processors=procs)
+                                   processors=procs,
+                                   cache_reorder=decoder_cache_beam_reorder)
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
@@ -169,7 +171,8 @@ class UnitYGenerator:
                     return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,
                                                tcfg, enc_padding_mask=mask_bk)
 
-                return beam_search(step_fn, cache, prefix, prefix_len, opts, V)
+                return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
+                                   cache_reorder=decoder_cache_beam_reorder)
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]

@@ -56,9 +56,13 @@ class TextTranslator:
                                              enc_padding_mask=mask)
 
                 cache = text_decoder_cache(dec_p, self.cfg, enc_bk, max_len)
+                from seamless_communication_tpu.ops.transformer import (
+                    decoder_cache_beam_reorder,
+                )
                 return beam_search(step_fn, cache, prefix,
                                    jnp.full((ids.shape[0],), 2, jnp.int32), opts,
-                                   self.cfg.vocab_size)
+                                   self.cfg.vocab_size,
+                                   cache_reorder=decoder_cache_beam_reorder)
 
             self._jit[max_len] = jax.jit(run)
         return self._jit[max_len]

@@ -102,5 +102,6 @@ def text_decoder_step(params: dict, tok_t: jax.Array, cache: DecoderCache,
 
 
 def text_decoder_cache(params: dict, cfg: NllbConfig, enc_out: jax.Array,
-                       max_len: int) -> DecoderCache:
-    return decoder_cache_init(params["stack"], cfg.dec_cfg(), enc_out, max_len)
+                       max_len: int, *, kv_int8: bool = False) -> DecoderCache:
+    return decoder_cache_init(params["stack"], cfg.dec_cfg(), enc_out, max_len,
+                              kv_int8=kv_int8)

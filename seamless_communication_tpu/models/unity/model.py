@@ -92,8 +92,9 @@ def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput):
         return text_decoder_step(params["text_decoder"], tok_t, cache, step, cfg.nllb,
                                  enc_padding_mask=mask)
 
-    def cache_fn(max_len: int):
-        return text_decoder_cache(params["text_decoder"], cfg.nllb, enc.seqs, max_len)
+    def cache_fn(max_len: int, kv_int8: bool = False):
+        return text_decoder_cache(params["text_decoder"], cfg.nllb, enc.seqs,
+                                  max_len, kv_int8=kv_int8)
 
     return step_fn, cache_fn
 

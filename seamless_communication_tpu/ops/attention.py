@@ -117,6 +117,93 @@ def self_attention_step(params: dict, x_t: jax.Array, cache: KVCache, step: jax.
     return linear(params["output_proj"], _merge_heads(out)), KVCache(k, v)
 
 
+class Int8KVCache(NamedTuple):
+    """int8 row-quantized KV cache: halves decode HBM traffic vs bf16 (the KV
+    read is a significant share of per-step bandwidth at production dims).
+    Scales are per (batch, head, position) absmax/127."""
+    k: jax.Array        # (B, H, T_max, Dh) int8
+    v: jax.Array        # (B, H, T_max, Dh) int8
+    k_scale: jax.Array  # (B, H, T_max) fp32
+    v_scale: jax.Array  # (B, H, T_max) fp32
+
+
+def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., Dh) -> int8 rows + per-row fp32 scales."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def int8_kv_cache_init(batch: int, num_heads: int, max_len: int, head_dim: int
+                       ) -> Int8KVCache:
+    shape = (batch, num_heads, max_len, head_dim)
+    return Int8KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape[:3], jnp.float32),
+                       jnp.zeros(shape[:3], jnp.float32))
+
+
+def self_attention_step_int8(params: dict, x_t: jax.Array, cache: Int8KVCache,
+                             step: jax.Array, num_heads: int
+                             ) -> tuple[jax.Array, Int8KVCache]:
+    """One causal decode step over an int8 KV cache. The k-row scales fold into
+    the attention logits and the v-row scales into the probabilities, so the
+    matmuls consume the int8 tables directly (XLA fuses the int8->bf16 convert
+    into the dot; HBM reads stay 1 byte/elem)."""
+    B = x_t.shape[0]
+    dtype = x_t.dtype
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)       # (B,H,1,Dh)
+    k_t = _split_heads(linear(params["k_proj"], x_t), num_heads)
+    v_t = _split_heads(linear(params["v_proj"], x_t), num_heads)
+    kq, ks = quantize_kv_rows(k_t)
+    vq, vs = quantize_kv_rows(v_t)
+    k = jax.lax.dynamic_update_slice(cache.k, kq, (0, 0, step, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, vq, (0, 0, step, 0))
+    k_scale = jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, 0, step))
+    v_scale = jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, 0, step))
+    t_max = k.shape[2]
+    dh = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * k_scale[:, :, None, :] / math.sqrt(dh)
+    valid = jnp.arange(t_max)[None, None, None, :] <= step
+    logits = jnp.where(valid, logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd",
+                     (probs * v_scale[:, :, None, :]).astype(dtype),
+                     v.astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    y = linear(params["output_proj"], _merge_heads(out))
+    return y, Int8KVCache(k, v, k_scale, v_scale)
+
+
+def cross_attention_precompute_int8(params: dict, enc_out: jax.Array,
+                                    num_heads: int) -> Int8KVCache:
+    kv = cross_attention_precompute(params, enc_out, num_heads)
+    kq, ks = quantize_kv_rows(kv.k)
+    vq, vs = quantize_kv_rows(kv.v)
+    return Int8KVCache(kq, vq, ks, vs)
+
+
+def cross_attention_step_int8(params: dict, x_t: jax.Array, enc_kv: Int8KVCache,
+                              num_heads: int, *,
+                              bias: Optional[jax.Array] = None) -> jax.Array:
+    dtype = x_t.dtype
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)
+    dh = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, enc_kv.k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * enc_kv.k_scale[:, :, None, :] / math.sqrt(dh)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd",
+                     (probs * enc_kv.v_scale[:, :, None, :]).astype(dtype),
+                     enc_kv.v.astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return linear(params["output_proj"], _merge_heads(out))
+
+
 def cross_attention_precompute(params: dict, enc_out: jax.Array, num_heads: int) -> KVCache:
     """Project encoder output to K/V once; reused every decode step
     (fairseq2 static KV cache for encoder-decoder attention)."""

@@ -61,13 +61,19 @@ class _State(NamedTuple):
 
 def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Array,
                 opts: BeamSearchOptions, vocab_size: int, *,
-                processors: Sequence[Callable] = ()) -> BeamSearchResult:
+                processors: Sequence[Callable] = (),
+                cache_reorder: Optional[Callable] = None) -> BeamSearchResult:
     """Run beam search.
 
     ``prefix``: (B, P) forced target prefix (e.g. [eos, lang]); ``prefix_len``: (B,)
     actual prefix lengths (P static).
-    ``cache``: initial decoder cache pytree, leading dim B*K (already beam-expanded).
+    ``cache``: initial decoder cache pytree with a B*K beam axis (already
+    beam-expanded) on axis 0, or on axis 1 for layer-stacked (L, B*K, ...) caches.
     ``step_fn(tok_t, cache, step)``: tok_t (B*K, 1) int32 -> ((B*K, V) fp32 logits, cache).
+    ``cache_reorder(cache, flat_src)``: optional explicit beam-reorder (gather the
+    (B*K,) int32 ``flat_src`` on the beam axis of every per-beam array); pass it
+    when the default axis detection (axis 0 if its size is B*K else axis 1) is
+    ambiguous, e.g. a layer-stacked cache where L happens to equal B*K.
     """
     B, P = prefix.shape
     K = opts.beam_size
@@ -111,7 +117,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
         gen_pos = step + 1  # position being filled now
         in_prefix = gen_pos < prefix_len[:, None]                      # (B, 1)
 
-        # --- step processors (operate on generated区 only) ---
+        # --- step processors (operate on the generated region only) ---
         for proc in processors:
             lprobs = proc(s.tokens, step, lprobs)
 
@@ -172,9 +178,19 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
 
         # reorder cache by beam origin on the flattened B*K axis
         flat_src = (jnp.arange(B)[:, None] * K + new_beam_src).reshape(B * K)
-        cache = jax.tree.map(lambda a: jnp.take(a, flat_src, axis=0)
-                             if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == B * K)
-                             else a, cache)
+        if cache_reorder is not None:
+            cache = cache_reorder(cache, flat_src)
+        else:
+            def gather_beam(a):
+                if not hasattr(a, "ndim") or a.ndim < 1:
+                    return a
+                if a.shape[0] == B * K:
+                    return jnp.take(a, flat_src, axis=0)
+                if a.ndim >= 2 and a.shape[1] == B * K:
+                    # layer-stacked (L, B*K, ...) decoder caches
+                    return jnp.take(a, flat_src, axis=1)
+                return a
+            cache = jax.tree.map(gather_beam, cache)
 
         return _State(step + 1, new_tokens, cont_pick_scores, cache,
                       fin_tokens, fin_scores, fin_lengths)

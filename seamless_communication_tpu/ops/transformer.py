@@ -17,6 +17,7 @@ single-step forward (beam search / streaming) are provided. Layers are scan-stac
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -150,49 +151,122 @@ class DecoderCache(NamedTuple):
     cross_v: jax.Array
 
 
+class DecoderCacheQ8(NamedTuple):
+    """int8 variant of DecoderCache (per-row scales; ops/attention.py
+    Int8KVCache): ~half the per-step KV HBM traffic at bf16-comparable
+    output quality."""
+    self_k: jax.Array        # (L, B, H, T_max, Dh) int8
+    self_v: jax.Array
+    self_k_scale: jax.Array  # (L, B, H, T_max) fp32
+    self_v_scale: jax.Array
+    cross_k: jax.Array       # (L, B, H, S, Dh) int8
+    cross_v: jax.Array
+    cross_k_scale: jax.Array
+    cross_v_scale: jax.Array
+
+
 def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
-                       max_len: int, dtype=None) -> DecoderCache:
+                       max_len: int, dtype=None, *, kv_int8: bool = False):
     dtype = dtype or enc_out.dtype
     B = enc_out.shape[0]
     H = cfg.num_heads
     Dh = cfg.dim // H
+    L = cfg.num_layers
+    shape = (L, B, H, max_len, Dh)
+
+    if kv_int8:
+        def per_layer_cross_q8(layer_p):
+            kv = attn_ops.cross_attention_precompute_int8(
+                layer_p["cross_attn"], enc_out, H)
+            return kv.k, kv.v, kv.k_scale, kv.v_scale
+
+        ck, cv, cks, cvs = jax.vmap(per_layer_cross_q8, in_axes=(0,))(
+            params["layers"])
+        return DecoderCacheQ8(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape[:4], jnp.float32), jnp.zeros(shape[:4], jnp.float32),
+            ck, cv, cks, cvs)
 
     def per_layer_cross(layer_p):
         kv = attn_ops.cross_attention_precompute(layer_p["cross_attn"], enc_out, H)
         return kv.k, kv.v
 
     cross_k, cross_v = jax.vmap(per_layer_cross, in_axes=(0,))(params["layers"])
-    L = cfg.num_layers
-    shape = (L, B, H, max_len, Dh)
     return DecoderCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), cross_k, cross_v)
 
 
-def transformer_decoder_step(params: dict, x_t: jax.Array, cache: DecoderCache,
-                             step: jax.Array, cfg: TransformerConfig, *,
-                             enc_padding_mask: Optional[jax.Array] = None
-                             ) -> tuple[jax.Array, DecoderCache]:
+def decoder_cache_beam_reorder(cache, flat_src: jax.Array):
+    """Beam-search cache reorder: gather beam-switch sources on the beam axis
+    (axis 1 of the (L, B*K, ...) self-attention KV). The cross-attention KV is
+    identical across the K beams of a batch item (the encoder output is repeated
+    K times before precompute), so it is left untouched — reordering it would be
+    pure HBM traffic."""
+    if isinstance(cache, DecoderCacheQ8):
+        return cache._replace(
+            self_k=jnp.take(cache.self_k, flat_src, axis=1),
+            self_v=jnp.take(cache.self_v, flat_src, axis=1),
+            self_k_scale=jnp.take(cache.self_k_scale, flat_src, axis=1),
+            self_v_scale=jnp.take(cache.self_v_scale, flat_src, axis=1))
+    return cache._replace(self_k=jnp.take(cache.self_k, flat_src, axis=1),
+                          self_v=jnp.take(cache.self_v, flat_src, axis=1))
+
+
+def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Array,
+                             cfg: TransformerConfig, *,
+                             enc_padding_mask: Optional[jax.Array] = None):
     """One decode step. ``x_t``: (B, 1, D) embedded current token. Scans over layers
-    carrying x_t; per-layer KV caches live in ``cache`` with leading layer axis."""
+    carrying x_t; per-layer KV caches live in ``cache`` (DecoderCache or
+    DecoderCacheQ8) with leading layer axis."""
     cross_bias = padding_bias(enc_padding_mask)
+    int8 = isinstance(cache, DecoderCacheQ8)
 
     def body(h, scanned):
-        layer_p, sk, sv, ck, cv = scanned
+        if int8:
+            layer_p, sk, sv, sks, svs, ck, cv, cks, cvs = scanned
+            self_kv = attn_ops.Int8KVCache(sk, sv, sks, svs)
+            cross_kv = attn_ops.Int8KVCache(ck, cv, cks, cvs)
+        else:
+            layer_p, sk, sv, ck, cv = scanned
+            self_kv, cross_kv = KVCache(sk, sv), KVCache(ck, cv)
         z = layer_norm(layer_p["self_attn_layer_norm"], h)
-        y, new_kv = attn_ops.self_attention_step(
-            layer_p["self_attn"], z, KVCache(sk, sv), step, cfg.num_heads)
+        if int8:
+            y, new_kv = attn_ops.self_attention_step_int8(
+                layer_p["self_attn"], z, self_kv, step, cfg.num_heads)
+        else:
+            y, new_kv = attn_ops.self_attention_step(
+                layer_p["self_attn"], z, self_kv, step, cfg.num_heads)
         h = h + y
         z = layer_norm(layer_p["cross_attn_layer_norm"], h)
-        h = h + attn_ops.cross_attention_step(layer_p["cross_attn"], z,
-                                              KVCache(ck, cv), cfg.num_heads,
-                                              bias=cross_bias)
+        if int8:
+            h = h + attn_ops.cross_attention_step_int8(
+                layer_p["cross_attn"], z, cross_kv, cfg.num_heads,
+                bias=cross_bias)
+        else:
+            h = h + attn_ops.cross_attention_step(layer_p["cross_attn"], z,
+                                                  cross_kv, cfg.num_heads,
+                                                  bias=cross_bias)
         z = layer_norm(layer_p["ffn"]["layer_norm"], h)
         z = _act(cfg.activation)(linear(layer_p["ffn"]["inner_proj"], z))
         h = h + linear(layer_p["ffn"]["output_proj"], z)
-        return h, (new_kv.k, new_kv.v)
+        return h, tuple(new_kv)
 
+    # unrolling the per-layer scan lets XLA software-pipeline the next layer's
+    # weight loads behind the current layer's compute (decode is HBM-bound)
+    unroll = int(os.environ.get("SEAMLESS_DECODE_UNROLL", "1"))
+    if int8:
+        out, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            body, x_t,
+            (params["layers"], cache.self_k, cache.self_v, cache.self_k_scale,
+             cache.self_v_scale, cache.cross_k, cache.cross_v,
+             cache.cross_k_scale, cache.cross_v_scale), unroll=unroll)
+        out = layer_norm(params["layer_norm"], out)
+        return out, DecoderCacheQ8(new_k, new_v, new_ks, new_vs, cache.cross_k,
+                                   cache.cross_v, cache.cross_k_scale,
+                                   cache.cross_v_scale)
     out, (new_k, new_v) = jax.lax.scan(
         body, x_t,
-        (params["layers"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v))
+        (params["layers"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
+        unroll=unroll)
     out = layer_norm(params["layer_norm"], out)
     return out, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
 

@@ -130,3 +130,68 @@ def test_batch_rows_independent():
     t1 = list(np.asarray(res.tokens[1, 0][:int(res.lengths[1, 0])]))
     assert t0 == [EOS, 5, 6, EOS]
     assert t1 == [EOS, 9, 10, EOS]
+
+
+def test_beam_reorders_real_decoder_cache():
+    """Regression: beam search must gather the (L, B*K, H, T, Dh) decoder KV
+    cache on its BEAM axis (axis 1) when hypotheses switch beams. A former
+    heuristic only matched caches whose axis 0 was B*K, silently skipping the
+    layer-stacked real cache (wrong histories, plausible-looking output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.ops.beam_search import (
+        BeamSearchOptions, beam_search,
+    )
+    from seamless_communication_tpu.ops.transformer import (
+        decoder_cache_beam_reorder, decoder_cache_init, transformer_stack_init,
+    )
+    from seamless_communication_tpu.models.nllb.model import NllbConfig
+    from seamless_communication_tpu.models.nllb import model as nllb
+
+    K, V, T = 3, 50, 12
+    # num_decoder_layers != K so the default axis heuristic is unambiguous
+    cfg = NllbConfig(dim=32, num_encoder_layers=2, num_decoder_layers=2,
+                     num_heads=4, ffn_inner_dim=64, vocab_size=V, max_seq_len=64)
+    params = {"stack": transformer_stack_init(jax.random.PRNGKey(7),
+                                              cfg.dec_cfg(), dtype=jnp.float32),
+              "embed": {"embedding": 2.0 * jax.random.normal(
+                  jax.random.PRNGKey(8), (V, 32), jnp.float32)}}
+    enc = jnp.repeat(jax.random.normal(jax.random.PRNGKey(9), (1, 6, 32)),
+                     K, axis=0)
+    opts = BeamSearchOptions(beam_size=K, max_len=T, min_len=2, pad_idx=0,
+                             unk_idx=1, eos_idx=3)
+    prefix = jnp.array([[3, 5]], jnp.int32)
+
+    def proc(tokens, step, lprobs):
+        # force per-slot distinct boosted tokens at step 3: the topk assigns
+        # them across slots, crossing beams AFTER histories have diverged
+        div = (jnp.zeros_like(lprobs).at[:, 0, 10].set(50.0)
+               .at[:, 1, 11].set(50.0).at[:, 2, 12].set(50.0))
+        return jnp.where(step == 3, lprobs + div, lprobs)
+
+    def step_fn(tok_t, cache, step):
+        return nllb.text_decoder_step(params, tok_t, cache, step, cfg)
+
+    def run(cache_reorder):
+        return beam_search(step_fn,
+                           decoder_cache_init(params["stack"], cfg.dec_cfg(),
+                                              enc, T),
+                           prefix, jnp.array([2], jnp.int32), opts, V,
+                           processors=(proc,), cache_reorder=cache_reorder)
+
+    correct = run(decoder_cache_beam_reorder)
+    heuristic = run(None)           # default axis detection must agree exactly
+    broken = run(lambda c, idx: c)  # the old no-op behavior
+
+    np.testing.assert_array_equal(np.asarray(correct.tokens),
+                                  np.asarray(heuristic.tokens))
+    np.testing.assert_allclose(np.asarray(correct.scores),
+                               np.asarray(heuristic.scores), rtol=0, atol=0)
+    # the canary must have power: no-op reorder must change the result
+    same_tokens = np.array_equal(np.asarray(correct.tokens),
+                                 np.asarray(broken.tokens))
+    same_scores = np.allclose(np.asarray(correct.scores),
+                              np.asarray(broken.scores), atol=1e-6)
+    assert not (same_tokens and same_scores), \
+        "no-op cache reorder produced identical output; test has no power"

@@ -101,3 +101,33 @@ def test_quantized_unity_decode_close_to_fp():
     agree = float(np.mean(ref.argmax(-1) == got.argmax(-1)))
     assert agree >= 0.75, agree
     assert np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9) < 0.2
+
+
+def test_int8_kv_cache_decode_close():
+    """DecoderCacheQ8 (int8 row-quantized KV) must track the bf16/fp cache
+    closely through multi-step decode, and beam-search-style greedy argmax
+    over tied-projection logits must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.ops.transformer import (
+        TransformerConfig, decoder_cache_init, transformer_decoder_step,
+        transformer_stack_init,
+    )
+
+    cfg = TransformerConfig(dim=64, num_layers=3, num_heads=4, ffn_inner_dim=128,
+                            vocab_size=100, max_seq_len=64,
+                            has_cross_attention=True)
+    params = transformer_stack_init(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 64))
+    c_fp = decoder_cache_init(params, cfg, enc, 8)
+    c_q8 = decoder_cache_init(params, cfg, enc, 8, kv_int8=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 64))
+    for step in range(6):
+        y_fp, c_fp = transformer_decoder_step(params, x, c_fp,
+                                              jnp.asarray(step), cfg)
+        y_q8, c_q8 = transformer_decoder_step(params, x, c_q8,
+                                              jnp.asarray(step), cfg)
+        rel = float(jnp.abs(y_fp - y_q8).max() / (jnp.abs(y_fp).max() + 1e-9))
+        assert rel < 0.02, (step, rel)
+        x = y_fp  # feed the fp trajectory to both caches
