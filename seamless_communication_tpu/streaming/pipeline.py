@@ -40,20 +40,27 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                        decision_threshold: float = 0.5,
                        denormalize: bool = False, max_len_b: int = 200,
                        max_consecutive_writes: int = 50,
-                       fused: bool = True) -> AgentPipeline:
+                       fused=True) -> AgentPipeline:
     """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43).
 
     ``fused=True`` (default) runs encoder + monotonic prefill + EMMA write burst
-    as ONE compiled program per chunk (streaming/fused.py); ``fused=False`` keeps
-    the reference's separate encoder/decoder agents (needed for
-    ``no_early_stop`` / ``block_ngrams`` policy variants)."""
+    as ONE compiled program per chunk (streaming/fused.py);
+    ``fused="incremental"`` additionally encodes only the NEW fbank block each
+    chunk (exact for the chunk-causal streaming conformer; O(T) total encoder
+    compute, zero mid-stream recompiles); ``fused=False`` keeps the reference's
+    separate encoder/decoder agents (needed for ``no_early_stop`` /
+    ``block_ngrams`` policy variants)."""
     if fused:
         from seamless_communication_tpu.streaming.fused import (
             FusedMMASpeechToTextDecoderAgent,
+            IncrementalFusedMMASpeechToTextDecoderAgent,
         )
+        agent_cls = (IncrementalFusedMMASpeechToTextDecoderAgent
+                     if fused == "incremental"
+                     else FusedMMASpeechToTextDecoderAgent)
         return AgentPipeline([
             OnlineFeatureExtractorAgent(denormalize=denormalize),
-            FusedMMASpeechToTextDecoderAgent(
+            agent_cls(
                 unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
                 tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
                 max_len_b=max_len_b,
@@ -86,16 +93,22 @@ def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                         denormalize: bool = False, max_len_b: int = 200,
                         max_consecutive_writes: int = 50,
                         text_bucket: int = 16,
-                        fused: bool = True) -> AgentPipeline:
+                        fused=True) -> AgentPipeline:
     """SeamlessStreaming S2ST pipeline (seamless_streaming_s2st.py:28-36).
 
     ``fused=True`` (default) fuses encoder + monotonic prefill + write burst
-    into one compiled program per chunk (streaming/fused.py)."""
+    into one compiled program per chunk (streaming/fused.py);
+    ``fused="incremental"`` also makes the encoder incremental (exact,
+    chunk-causal)."""
     if fused:
         from seamless_communication_tpu.streaming.fused import (
             FusedUnitYMMATextDecoderAgent,
+            IncrementalFusedUnitYMMATextDecoderAgent,
         )
-        text_decoder = FusedUnitYMMATextDecoderAgent(
+        agent_cls = (IncrementalFusedUnitYMMATextDecoderAgent
+                     if fused == "incremental"
+                     else FusedUnitYMMATextDecoderAgent)
+        text_decoder = agent_cls(
             unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
             tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
             max_len_b=max_len_b, max_consecutive_writes=max_consecutive_writes,

@@ -138,3 +138,40 @@ def test_fused_matches_unfused_s2t(setup):
         dec = pipe.agents[1 if fused else 2]
         toks[fused] = list(dec.states.target_indices)
     assert toks[True] == toks[False] and len(toks[True]) > 0
+
+
+def test_incremental_matches_fused_s2t(setup):
+    """The incremental-encoder fused agent must emit the exact token sequence
+    of the full-re-encode fused agent on a chunk-causal (streaming-style) card."""
+    import dataclasses
+
+    from seamless_communication_tpu.models.wav2vec2.encoder import (
+        SpeechEncoderConfig,
+    )
+    from seamless_communication_tpu.ops.conformer import ConformerConfig
+
+    s = setup
+    cfg = dataclasses.replace(
+        s["cfg"],
+        speech=SpeechEncoderConfig(
+            model_dim=64, feature_dim=160, ffn_inner_dim=128,
+            num_adaptor_heads=4,
+            conformer=ConformerConfig(dim=64, ffn_inner_dim=128, num_heads=4,
+                                      num_layers=2, depthwise_kernel_size=7,
+                                      pos_type="shaw", shaw_max_left=8,
+                                      shaw_max_right=3,
+                                      causal_depthwise_conv=True),
+            chunk_size=4, left_chunk_num=-1))
+    params = unity.unity_init(jax.random.PRNGKey(3), cfg)
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)
+           ).astype(np.float32)
+    kw = dict(tgt_lang="eng", min_starting_wait_w2vbert=16,
+              decision_threshold=0.001, max_len_b=12, max_consecutive_writes=6)
+    toks = {}
+    for mode in (True, "incremental"):
+        pipe = build_s2t_pipeline(params, cfg, s["mono_params"], s["mono_cfg"],
+                                  s["text_tok"], fused=mode, **kw)
+        list(StreamingSession(pipe, segment_size_ms=320,
+                              tgt_lang="eng").run(wav))
+        toks[mode] = list(pipe.agents[1].states.target_indices)
+    assert toks["incremental"] == toks[True] and len(toks[True]) > 0
