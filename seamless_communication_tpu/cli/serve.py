@@ -1,0 +1,66 @@
+"""Serving CLI: HTTP endpoint with dynamic batching over one TPU chip.
+
+    m4t_serve --model_name seamlessM4T_v2_large --port 8008 --quantize
+
+POST /v1/translate {"task": "s2tt"|"t2tt"|"asr"|"s2st"|"t2st",
+                    "tgt_lang": ..., "src_lang"?: ...,
+                    "text"? | "audio_b64"? (16 kHz WAV, base64)}
+GET  /healthz
+
+(The reference has no serving path — inference/serving.py is TPU-native new
+surface; see docstring there for the batching model.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Seamless TPU serving")
+    parser.add_argument("--model_name", type=str, default="seamlessM4T_v2_large")
+    parser.add_argument("--vocoder_name", type=str, default="vocoder_v2")
+    parser.add_argument("--local_hf_path", type=str, default=None)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8008)
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_wait_ms", type=int, default=30)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight-only quantization (serving default "
+                             "recommendation; halves decode HBM traffic)")
+    parser.add_argument("--no_speech_out", action="store_true",
+                        help="skip loading the vocoder (text-output tasks only)")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    from seamless_communication_tpu.cli.loading import (
+        load_unity_model_and_tokenizers, load_vocoder,
+    )
+    from seamless_communication_tpu.inference.serving import serve
+    from seamless_communication_tpu.inference.translator import Translator
+
+    params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
+        args.model_name, local_hf_path=args.local_hf_path,
+        quantize=args.quantize)
+    voc_params = voc_cfg = None
+    idx_map = {}
+    if not args.no_speech_out:
+        voc_params, voc_cfg, idx_map = load_vocoder(
+            args.vocoder_name, local_hf_path=args.local_hf_path)
+    translator = Translator(params, cfg, text_tok, unit_tok, char_tok,
+                            vocoder_params=voc_params, vocoder_cfg=voc_cfg,
+                            lang_spkr_idx_map=idx_map)
+    import threading
+
+    server = serve(translator, host=args.host, port=args.port,
+                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    try:
+        threading.Event().wait()  # serve() runs in a background thread; block
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -167,8 +167,12 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
     if fused:
         from seamless_communication_tpu.streaming.fused import (
             FusedUnitYMMATextDecoderAgent,
+            IncrementalFusedUnitYMMATextDecoderAgent,
         )
-        text_agents = [FusedUnitYMMATextDecoderAgent(
+        agent_cls = (IncrementalFusedUnitYMMATextDecoderAgent
+                     if fused == "incremental"
+                     else FusedUnitYMMATextDecoderAgent)
+        text_agents = [agent_cls(
             unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
             tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
             decision_threshold=decision_threshold)]
