@@ -31,9 +31,21 @@ def main() -> None:
                              "recommendation; halves decode HBM traffic)")
     parser.add_argument("--no_speech_out", action="store_true",
                         help="skip loading the vocoder (text-output tasks only)")
+    parser.add_argument("--warmup", type=str, default=None,
+                        help="comma-separated task:tgt_lang[:src_lang] specs to "
+                             "pre-compile before accepting traffic, e.g. "
+                             "'s2tt:spa,t2tt:fra:eng' (first request otherwise "
+                             "pays the jit compile)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. 'cpu'); note that "
+                             "JAX_PLATFORMS env vars are ignored when a "
+                             "sitecustomize pre-imports jax")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from seamless_communication_tpu.cli.loading import (
         load_unity_model_and_tokenizers, load_vocoder,
@@ -53,6 +65,17 @@ def main() -> None:
                             vocoder_params=voc_params, vocoder_cfg=voc_cfg,
                             lang_spkr_idx_map=idx_map)
     import threading
+
+    if args.warmup:
+        import numpy as np
+        for spec in args.warmup.split(","):
+            parts = spec.strip().split(":")
+            task, tgt = parts[0], parts[1]
+            src = parts[2] if len(parts) > 2 else None
+            payload = ("warm up" if task.startswith("t")
+                       else np.zeros(16000, np.float32))
+            logging.getLogger("seamless_serve").info("warmup %s", spec)
+            translator.predict([payload], task, tgt, src_lang=src)
 
     server = serve(translator, host=args.host, port=args.port,
                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)

@@ -72,8 +72,75 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.seamless_loader_destroy.restype = None
     lib.seamless_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.seamless_spm_create.restype = ctypes.c_void_p
+    lib.seamless_spm_create.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.seamless_spm_encode.restype = ctypes.c_int64
+    lib.seamless_spm_encode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.seamless_spm_destroy.restype = None
+    lib.seamless_spm_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
+
+
+class NativeSpmEncoder:
+    """C++ unigram Viterbi (native/spm.cpp); byte-exact with the Python
+    SentencePieceModel.encode (which remains the parity reference). Raises
+    RuntimeError if the native library is unavailable."""
+
+    def __init__(self, pieces, scores, matchable, byte_ids: dict, unk_id: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        blob = b"".join(p.encode("utf-8") for p in pieces)
+        offsets = np.zeros(len(pieces) + 1, np.int64)
+        np.cumsum([len(p.encode("utf-8")) for p in pieces], out=offsets[1:])
+        self._blob = np.frombuffer(blob, np.uint8).copy()
+        self._offsets = offsets
+        self._scores = np.asarray(scores, np.float32)
+        self._matchable = np.asarray(matchable, np.uint8)
+        bids = np.full(256, -1, np.int32)
+        for b, i in byte_ids.items():
+            bids[b] = i
+        self._bids = bids
+        self._h = lib.seamless_spm_create(
+            self._blob.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(pieces),
+            self._scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._matchable.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            bids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), unk_id)
+        if not self._h:
+            raise RuntimeError("spm model creation failed")
+
+    def encode_normalized(self, text: str):
+        data = np.frombuffer(text.encode("utf-8"), np.uint8)
+        if len(data) == 0:
+            return []
+        out = np.empty(max(16, 4 * len(data)), np.int32)
+        n = self._lib.seamless_spm_encode(
+            self._h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(out))
+        if n < 0:
+            raise RuntimeError("spm encode failed")
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.seamless_spm_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
 
 
 def fbank_native(waveform: np.ndarray, *, num_mel_bins: int = 80,

@@ -122,6 +122,8 @@ class SentencePieceModel:
         }
         # control/unused pieces never match raw text
         self._matchable = [t in (TYPE_NORMAL, TYPE_USER_DEFINED) for t in self.types]
+        self._native = None          # lazy C++ Viterbi (native/spm.cpp)
+        self._native_failed = False
 
     # -- construction ------------------------------------------------------
 
@@ -164,8 +166,27 @@ class SentencePieceModel:
         return [self.pieces[i] for i in self.encode(text)]
 
     def encode(self, text: str) -> List[int]:
-        """Viterbi best segmentation by summed piece scores (unigram LM)."""
+        """Viterbi best segmentation by summed piece scores (unigram LM).
+        Uses the byte-exact C++ encoder (native/spm.cpp) when the native
+        library is available; this Python path is the parity reference."""
         s = self._normalize(text)
+        if self._native is None and not self._native_failed:
+            try:
+                import os
+
+                from seamless_communication_tpu.native import NativeSpmEncoder
+                if os.environ.get("SEAMLESS_NO_NATIVE_SPM"):
+                    raise RuntimeError("disabled")
+                self._native = NativeSpmEncoder(
+                    self.pieces, self.scores, self._matchable,
+                    self._byte_ids, self.unk_id)
+            except Exception:
+                self._native_failed = True
+        if self._native is not None:
+            return self._native.encode_normalized(s)
+        return self._encode_python(s)
+
+    def _encode_python(self, s: str) -> List[int]:
         n = len(s)
         if n == 0:
             return []

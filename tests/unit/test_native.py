@@ -101,3 +101,39 @@ def test_native_loader_resamples(tmp_path):
     L = min(int(lens[0]), ref.shape[0])
     # different resampler families: compare mean abs diff on log-mels
     assert float(np.abs(fb[0, :L] - ref[:L]).mean()) < 0.05
+
+
+def test_native_spm_parity():
+    """C++ unigram Viterbi (native/spm.cpp) must be byte-exact with the Python
+    encoder across unknowns, byte fallback, CJK, and whitespace edge cases."""
+    import random
+
+    from seamless_communication_tpu.text.spm import (
+        SentencePieceModel, build_spm_model, TYPE_BYTE, TYPE_CONTROL,
+        TYPE_NORMAL, TYPE_UNKNOWN, TYPE_USER_DEFINED,
+    )
+
+    random.seed(0)
+    pieces = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+              ("</s>", 0.0, TYPE_CONTROL)]
+    pieces += [(f"<0x{b:02X}>", -20.0, TYPE_BYTE) for b in range(256)]
+    syll = ["ab", "ba", "ca", "na", "to", "ri", "ku", "mi"]
+    vocab = sorted({("▁" if i % 2 else "") + "".join(
+        random.choice(syll) for _ in range(random.randint(1, 3)))
+        for i in range(300)} | {"▁日本語", "日本", "語", "ø", "▁Ω"})
+    pieces += [(w, -random.uniform(1, 12), TYPE_NORMAL) for w in vocab]
+    pieces += [(",", -5.0, TYPE_USER_DEFINED)]
+
+    spm = SentencePieceModel.from_bytes(build_spm_model(pieces))
+    spm_py = SentencePieceModel.from_bytes(build_spm_model(pieces))
+    spm_py._native_failed = True  # force the Python reference path
+
+    words = [p.lstrip("▁") for p in vocab[:50]]
+    texts = [" ".join(random.choice(words) for _ in range(random.randint(1, 10)))
+             for _ in range(60)]
+    texts += ["", " ", "unknown𝄞glyph", "日本語 mixed ascii", "ø Ω,",
+              "\t tabs\nnewlines  "]
+    for t in texts:
+        assert spm.encode(t) == spm_py.encode(t), repr(t)
+    if spm._native is None:
+        pytest.skip("native library unavailable")
