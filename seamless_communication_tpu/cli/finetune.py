@@ -34,6 +34,14 @@ def main() -> None:
     parser.add_argument("--freeze_text_encoder", action="store_true", default=True)
     parser.add_argument("--freeze_speech_encoder", action="store_true")
     parser.add_argument("--local_hf_path", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="restore a full train-state checkpoint written by "
+                             "--save_state_to (params + optimizer + counters; "
+                             "beyond the reference, which only saves the best "
+                             "model)")
+    parser.add_argument("--save_state_to", type=str, default=None,
+                        help="write a resumable full train-state checkpoint "
+                             "when training ends")
     args = parser.parse_args()
 
     import jax
@@ -67,8 +75,15 @@ def main() -> None:
     eval_data = (manifest_batches(args.eval_dataset, text_tok,
                                   batch_size=args.batch_size)
                  if args.eval_dataset else None)
-    UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=train_data,
-                  eval_data=eval_data).run()
+    trainer = UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=train_data,
+                            eval_data=eval_data)
+    step0 = trainer.restore_state(args.resume) if args.resume else 0
+    final_step = step0
+    try:
+        final_step = trainer.run(start_step=step0) or step0
+    finally:
+        if args.save_state_to:
+            trainer.save_state(args.save_state_to, step_nr=final_step)
 
 
 if __name__ == "__main__":

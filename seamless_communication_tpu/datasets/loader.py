@@ -32,11 +32,30 @@ def read_manifest(path: str) -> List[dict]:
     return items
 
 
+class _Reiterable:
+    """Multi-epoch safe wrapper: a fresh generator per iteration (a bare
+    generator would silently exhaust after epoch 1 of the trainer loop)."""
+
+    def __init__(self, make):
+        self._make = make
+
+    def __iter__(self):
+        return self._make()
+
+
 def manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                      batch_size: int = 8, max_frames: int = 1024,
-                     max_tokens: int = 128) -> Iterator[dict]:
-    """Yield finetune batches: fbank, fbank_lens, prev_tokens, target_tokens,
-    target_lens (teacher-forced shift)."""
+                     max_tokens: int = 128):
+    """Finetune batches: fbank, fbank_lens, prev_tokens, target_tokens,
+    target_lens (teacher-forced shift). Re-iterable across epochs."""
+    return _Reiterable(lambda: _manifest_batches(
+        path, text_tokenizer, batch_size=batch_size, max_frames=max_frames,
+        max_tokens=max_tokens))
+
+
+def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
+                      batch_size: int = 8, max_frames: int = 1024,
+                      max_tokens: int = 128) -> Iterator[dict]:
     import jax.numpy as jnp
 
     items = read_manifest(path)

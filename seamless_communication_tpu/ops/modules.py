@@ -128,6 +128,9 @@ def conv1d(params: dict, x: jax.Array, *, stride: int = 1, padding="SAME",
         pad = [padding]
     else:
         pad = padding
+    # no preferred_element_type: TPU convs accumulate fp32 in the MXU anyway,
+    # and a widened output dtype breaks the conv VJP under bf16 params
+    # (transposed-conv cotangent fp32 vs bf16 weights)
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
@@ -135,11 +138,10 @@ def conv1d(params: dict, x: jax.Array, *, stride: int = 1, padding="SAME",
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     b = params.get("bias")
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -169,11 +171,10 @@ def conv_transpose1d(params: dict, x: jax.Array, *, stride: int,
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
     b = params.get("bias")
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 

@@ -61,6 +61,11 @@ def s2t_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
              label_smoothing: float = 0.2):
     """Speech -> text CE. batch: fbank (B,T,80), fbank_lens, prev_tokens (B,L),
     target_tokens (B,L), target_lens."""
+    # cast host-fp32 features to the model dtype (the reference trainer's
+    # float_dtype cast); bf16 params + fp32 activations would otherwise leak
+    # fp32 into scan carries
+    dtype = jax.tree.leaves(params)[0].dtype
+    batch = dict(batch, fbank=jnp.asarray(batch["fbank"], dtype))
     enc = unity.encode_speech(params, cfg, batch["fbank"], batch["fbank_lens"])
     feats = unity.decode_text(params, cfg, batch["prev_tokens"], enc,
                               self_lengths=batch["target_lens"])
@@ -217,8 +222,44 @@ class UnitYFinetune:
         ckptr.wait_until_finished()
         logger.info("saved checkpoint to %s", path)
 
-    def run(self):
-        step_nr = 0
+    # -- full train-state checkpoint/resume (EXCEEDS the reference: its
+    # finetune saves the best model only, with no optimizer state or resume,
+    # reference cli/m4t/finetune/trainer.py:395-406) ----------------------
+
+    def save_state(self, path: str, step_nr: int):
+        """Persist the complete training state (params, optimizer state, step
+        counter, early-stop bookkeeping) for exact resume."""
+        import orbax.checkpoint as ocp
+        import os
+        state = {"params": self.params, "opt_state": self.opt_state,
+                 "counters": {"step": step_nr, "best_eval": self.best_eval,
+                              "patience_left": self.patience_left}}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), state, force=True)
+        ckptr.wait_until_finished()
+        logger.info("saved train state (step %d) to %s", step_nr, path)
+
+    def restore_state(self, path: str) -> int:
+        """Restore a save_state checkpoint; returns the step counter."""
+        import orbax.checkpoint as ocp
+        import os
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "counters": {"step": 0, "best_eval": self.best_eval,
+                                 "patience_left": self.patience_left}}
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(os.path.abspath(path), target=template)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.best_eval = float(state["counters"]["best_eval"])
+        self.patience_left = int(state["counters"]["patience_left"])
+        step_nr = int(state["counters"]["step"])
+        logger.info("restored train state (step %d) from %s", step_nr, path)
+        return step_nr
+
+    def run(self, start_step: int = 0) -> int:
+        """Train; returns the final step counter (pass it back as
+        ``start_step`` after restore_state for accurate bookkeeping)."""
+        step_nr = start_step
         for epoch in range(self.ft.max_epochs):
             for batch in self.train_data:
                 self.params, self.opt_state, metrics = self.train_step(
@@ -240,4 +281,5 @@ class UnitYFinetune:
                         self.patience_left -= 1
                         if self.patience_left <= 0:
                             logger.info("early stop (patience)")
-                            return
+                            return step_nr
+        return step_nr

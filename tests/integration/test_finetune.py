@@ -1,0 +1,74 @@
+"""Finetune trainer: full loop on a tiny model (loss decreases, best-model
+save) and exact train-state checkpoint/resume — the latter EXCEEDS the
+reference, whose finetune saves the best model only with no optimizer state
+(reference cli/m4t/finetune/trainer.py:395-406)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seamless_communication_tpu.models.unity import model as unity
+from seamless_communication_tpu.models.unity.builder import get_arch
+from seamless_communication_tpu.train.trainer import (
+    FinetuneMode, FinetuneParams, UnitYFinetune,
+)
+
+
+def _batches(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        out.append({
+            "fbank": rng.standard_normal((2, 64, 80)).astype(np.float32),
+            "fbank_lens": np.array([64, 48], np.int32),
+            "prev_tokens": rng.integers(4, 250, (2, 8)).astype(np.int32),
+            "target_tokens": rng.integers(4, 250, (2, 8)).astype(np.int32),
+            "target_lens": np.array([8, 6], np.int32),
+        })
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ft")
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    ft = FinetuneParams(finetune_mode=FinetuneMode.SPEECH_TO_TEXT,
+                        learning_rate=1e-3, warmup_steps=2, max_epochs=2,
+                        eval_steps=4, log_steps=2, patience=2,
+                        save_model_path=str(d / "best"))
+    return cfg, params, ft, d
+
+
+def test_finetune_loop_decreases_loss(setup):
+    cfg, params, ft, d = setup
+    batches = _batches(4)
+    trainer = UnitYFinetune(params, cfg, ft, train_data=batches,
+                            eval_data=batches[:1])
+    first = trainer.train_step(trainer.params, trainer.opt_state, batches[0])
+    l0 = float(first[2]["loss"])
+    trainer.run()
+    last = trainer.train_step(trainer.params, trainer.opt_state, batches[0])
+    assert float(last[2]["loss"]) < l0      # memorizes the tiny set
+    assert (d / "best").exists()            # best-model checkpoint written
+
+
+def test_train_state_resume_exact(setup):
+    cfg, params, ft, d = setup
+    batches = _batches(3, seed=1)
+    a = UnitYFinetune(params, cfg, ft, train_data=batches)
+    for b in batches[:2]:
+        a.params, a.opt_state, _ = a.train_step(a.params, a.opt_state, b)
+    a.save_state(str(d / "state"), step_nr=2)
+    # continue A for one more step
+    a.params, a.opt_state, _ = a.train_step(a.params, a.opt_state, batches[2])
+
+    # fresh trainer restores and replays the same step -> identical params
+    b_tr = UnitYFinetune(params, cfg, ft, train_data=batches)
+    step = b_tr.restore_state(str(d / "state"))
+    assert step == 2
+    b_tr.params, b_tr.opt_state, _ = b_tr.train_step(
+        b_tr.params, b_tr.opt_state, batches[2])
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b_tr.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
