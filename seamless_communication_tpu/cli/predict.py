@@ -25,6 +25,15 @@ def add_inference_arguments(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--text_generation_max_len_a", type=int, default=1)
     parser.add_argument("--text_generation_max_len_b", type=int, default=200)
     parser.add_argument("--text_unk_blocking", action="store_true")
+    parser.add_argument("--text_generation_ngram_blocking", action="store_true",
+                        help="block repeated n-grams in text decoding "
+                             "(size = --no_repeat_ngram_size)")
+    parser.add_argument("--no_repeat_ngram_size", type=int, default=4)
+    parser.add_argument("--unit_generation_beam_size", type=int, default=5,
+                        help="AR T2U beam (v1 models)")
+    parser.add_argument("--unit_generation_max_len_a", type=int, default=25)
+    parser.add_argument("--unit_generation_max_len_b", type=int, default=50)
+    parser.add_argument("--unit_generation_ngram_blocking", action="store_true")
     parser.add_argument("--unit_generation_ngram_filtering", action="store_true")
     parser.add_argument("--duration_factor", type=float, default=1.0)
     parser.add_argument("--spkr", type=int, default=-1)
@@ -61,11 +70,20 @@ def main() -> None:
         beam_size=args.text_generation_beam_size,
         soft_max_seq_len=(args.text_generation_max_len_a,
                           args.text_generation_max_len_b),
-        unk_penalty=(1e9 if args.text_unk_blocking else 0.0))
+        unk_penalty=(1e9 if args.text_unk_blocking else 0.0),
+        no_repeat_ngram_size=(args.no_repeat_ngram_size
+                              if args.text_generation_ngram_blocking else None))
+    unit_opts = SequenceGeneratorOptions(
+        beam_size=args.unit_generation_beam_size,
+        soft_max_seq_len=(args.unit_generation_max_len_a,
+                          args.unit_generation_max_len_b),
+        no_repeat_ngram_size=(args.no_repeat_ngram_size
+                              if args.unit_generation_ngram_blocking else None))
 
     translator = Translator(params, cfg, text_tok, unit_tok, char_tok,
                             vocoder_params=voc_params, vocoder_cfg=voc_cfg,
-                            lang_spkr_idx_map=idx_map, text_opts=opts)
+                            lang_spkr_idx_map=idx_map, text_opts=opts,
+                            unit_opts=unit_opts)
     texts, speech = translator.predict(
         args.input, args.task, args.tgt_lang, src_lang=args.src_lang,
         duration_factor=args.duration_factor, spkr=args.spkr,

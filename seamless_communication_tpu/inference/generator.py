@@ -58,6 +58,7 @@ class SequenceGeneratorOptions:
     len_penalty: float = 1.0
     unk_penalty: float = 0.0
     step_processor: Optional[object] = None  # (banned seqs array, lens) tuple
+    no_repeat_ngram_size: Optional[int] = None  # NGramRepeatBlockProcessor
 
 
 def _bucket(n: int, step: int = 64) -> int:
@@ -100,7 +101,8 @@ class UnitYGenerator:
         return self._jit_cache["enc_text"]
 
     def _text_beam_fn(self, max_len: int, banned: Optional[tuple]):
-        key = ("text_beam", max_len, banned is not None)
+        key = ("text_beam", max_len, banned is not None,
+               self.text_opts.no_repeat_ngram_size)
         if key not in self._jit_cache:
             opts = BeamSearchOptions(
                 beam_size=self.text_opts.beam_size, max_len=max_len,
@@ -120,6 +122,9 @@ class UnitYGenerator:
                 if banned_arr is not None:
                     procs.append(make_banned_sequence_processor(banned_arr,
                                                                 banned_lens, V))
+                if self.text_opts.no_repeat_ngram_size:
+                    procs.append(make_ngram_repeat_block(
+                        self.text_opts.no_repeat_ngram_size, V))
                 cache = cache_fn(max_len)
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
                                    processors=procs,
@@ -171,7 +176,12 @@ class UnitYGenerator:
                     return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,
                                                tcfg, enc_padding_mask=mask_bk)
 
+                procs = []
+                if self.unit_opts.no_repeat_ngram_size:
+                    procs.append(make_ngram_repeat_block(
+                        self.unit_opts.no_repeat_ngram_size, V))
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
+                                   processors=procs,
                                    cache_reorder=decoder_cache_beam_reorder)
 
             self._jit_cache[key] = jax.jit(run)
