@@ -35,7 +35,13 @@ def main() -> None:
     AUDIO_SECONDS = 10.0
     SAMPLE_RATE = 16000
     MAX_FRAMES = 998           # 10 s at 10 ms hop
-    TEXT_MAX_LEN = 64          # beam search runs all steps (worst case)
+    # Reference decode cap: max_len = min(1*S_enc + 200, 1024) with S_enc the
+    # encoder output length (998 fbank frames -> /2 frontend stack -> /8
+    # adaptor = 62), reference inference/generator.py:59-84. min_len pins the
+    # beam to run EVERY step, so this is a true worst case at reference
+    # termination semantics.
+    S_ENC = MAX_FRAMES // 2 // 8
+    TEXT_MAX_LEN = min(S_ENC + 200, 1024)   # 262
     MAX_UNIT_LEN = 640
     BEAM = 5
 
@@ -112,6 +118,8 @@ def main() -> None:
     rtf = float(np.median(times)) / AUDIO_SECONDS
     extra = {"compile_s": round(compile_s, 1),
              "p50_ms": round(float(np.median(times)) * 1000, 1),
+             "decode_cap": f"reference min(S+200,1024)={TEXT_MAX_LEN} steps, "
+                           "min_len forces all steps",
              "weights": "int8" if quantized else "bf16",
              "kv_cache": "int8",
              "platform": str(jax.devices()[0]).strip()}

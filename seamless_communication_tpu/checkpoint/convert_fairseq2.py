@@ -39,8 +39,15 @@ def _convT_w(w) -> np.ndarray:
 
 
 def _fold_weight_norm(g, v) -> np.ndarray:
+    """Fold torch weight_norm: w = g * v / ||v||, with the norm taken over the
+    axes where g is size-1 (dim=0 for most convs; fairseq's pos_conv uses
+    dim=2, giving g shape (1,1,k))."""
     g, v = np.asarray(g), np.asarray(v)
-    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    if g.ndim == v.ndim:
+        axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1)
+    else:
+        axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=g.ndim == v.ndim))
     return g * v / np.maximum(norm, 1e-12)
 
 
@@ -404,8 +411,16 @@ def unity_tree_from_fairseq2(sd: Mapping[str, np.ndarray], *, v2: bool = True) -
     if "text_encoder.layer_norm.weight" in sd:
         params["text_encoder"] = _encoder_tree(sd, "text_encoder",
                                                "text_encoder_frontend.embed")
-    if "t2u_model.encoder.layer_norm.weight" in sd:
+    # T2U dispatch: NAR (v2) layers carry conv1d blocks, AR (v1) layers carry
+    # cross-attention (reference t2u_builder.py archs base vs base_nar)
+    if "t2u_model.decoder.layers.0.conv1d.conv1.weight" in sd:
         params["t2u"] = _nar_t2u_tree(sd)
+    elif "t2u_model.decoder.layers.0.encoder_decoder_attn.q_proj.weight" in sd:
+        params["t2u"] = _ar_t2u_tree(sd)
+    # expressive prosody encoder (global_prosody -> prosody_encoder_model)
+    if "prosody_encoder_model.fc.weight" in sd:
+        params["prosody_encoder"] = ecapa_tree_from_fairseq2(
+            sd, prefix="prosody_encoder_model")
     return params
 
 
@@ -451,6 +466,12 @@ def _nar_t2u_tree(sd) -> dict:
         "conv2": _conv(sd, f"t2u_model.decoder.layers.{i}.conv1d.conv2"),
         "conv_layer_norm": _ln(sd, f"t2u_model.decoder.layers.{i}.conv1d_layer_norm"),
     } for i in range(n)]
+    # FiLM (expressive) must be injected BEFORE stacking — every layer carries
+    # it in expressivity checkpoints, so the stacked tree keeps the key
+    for i in range(n):
+        fp = f"t2u_model.decoder.layers.{i}.film"
+        if f"{fp}.proj.weight" in sd:
+            dec_layers[i]["film"] = _film(sd, fp)
     vp = "t2u_model.decoder_frontend.variance_adaptor.duration_predictor"
     p = {
         "encoder": enc["stack"],
@@ -473,19 +494,28 @@ def _nar_t2u_tree(sd) -> dict:
         "final_proj": _linear(sd, "t2u_model.final_proj"),
     }
     if f"{vp}.film.proj.weight" in sd:
-        p["duration_predictor"]["film"] = {
-            "proj": _linear(sd, f"{vp}.film.proj"),
-            "s_gamma": np.asarray(sd[f"{vp}.film.s_gamma"]),
-            "s_beta": np.asarray(sd[f"{vp}.film.s_beta"]),
-        }
+        p["duration_predictor"]["film"] = _film(sd, f"{vp}.film")
     if "t2u_model.prosody_proj.weight" in sd:
         p["prosody_proj"] = _linear(sd, "t2u_model.prosody_proj")
-    for i in range(n):
-        fp = f"t2u_model.decoder.layers.{i}.film"
-        if f"{fp}.proj.weight" in sd:
-            dec_layers[i]["film"] = {"proj": _linear(sd, f"{fp}.proj"),
-                                     "s_gamma": np.asarray(sd[f"{fp}.s_gamma"]),
-                                     "s_beta": np.asarray(sd[f"{fp}.s_beta"])}
+    return p
+
+
+def _film(sd, prefix: str) -> dict:
+    return {"proj": _linear(sd, f"{prefix}.proj"),
+            "s_gamma": np.asarray(sd[f"{prefix}.s_gamma"]),
+            "s_beta": np.asarray(sd[f"{prefix}.s_beta"])}
+
+
+def _ar_t2u_tree(sd) -> dict:
+    """AR T2U (v1): standard enc-dec over the unit vocab with tied final proj
+    (reference models/unity/model.py:263-327; keys converted by the
+    synthesizer_encoder/decoder rules, loader.py:286-389)."""
+    dec = _decoder_tree(sd, "t2u_model.decoder", "t2u_model.decoder_frontend.embed")
+    p = {"embed": dec["embed"], "decoder": dec["stack"]}
+    if "t2u_model.encoder.layer_norm.weight" in sd:
+        enc = _encoder_tree(sd, "t2u_model.encoder",
+                            "t2u_model.decoder_frontend.embed")
+        p["encoder"] = enc["stack"]
     return p
 
 
@@ -573,6 +603,327 @@ def vocoder_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
         },
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# ECAPA-TDNN (prosody/speaker encoder; reference models/generator/ecapa_tdnn.py)
+# ---------------------------------------------------------------------------
+
+def ecapa_tree_from_fairseq2(sd: Mapping[str, np.ndarray], *,
+                             prefix: str = "prosody_encoder_model") -> dict:
+    """Keys: {prefix}.blocks.0 (TDNN), blocks.1..N (SERes2Net: tdnn1,
+    res2net_block.blocks.j, tdnn2, se_block.conv1/2, shortcut?), mfa,
+    asp.{tdnn,conv}, asp_norm, fc — mapped onto models/pretssel/ecapa_tdnn.py's
+    pytree."""
+    def tdnn(p):
+        return {"conv": _conv(sd, f"{p}.conv"), "norm": _ln(sd, f"{p}.norm")}
+
+    n_blocks = _num_layers(sd, rf"{re.escape(prefix)}\.blocks\.([0-9]+)\.")
+    blocks = [tdnn(f"{prefix}.blocks.0")]
+    for i in range(1, n_blocks):
+        p = f"{prefix}.blocks.{i}"
+        n_r = _num_layers(sd, rf"{re.escape(p)}\.res2net_block\.blocks\.([0-9]+)\.")
+        b = {
+            "tdnn1": tdnn(f"{p}.tdnn1"),
+            "res2net": {"blocks": [tdnn(f"{p}.res2net_block.blocks.{j}")
+                                   for j in range(n_r)]},
+            "tdnn2": tdnn(f"{p}.tdnn2"),
+            "se": {"conv1": _conv(sd, f"{p}.se_block.conv1"),
+                   "conv2": _conv(sd, f"{p}.se_block.conv2")},
+        }
+        if f"{p}.shortcut.weight" in sd:
+            b["shortcut"] = _conv(sd, f"{p}.shortcut")
+        blocks.append(b)
+    return {
+        "blocks": blocks,
+        "mfa": tdnn(f"{prefix}.mfa"),
+        "asp_tdnn": tdnn(f"{prefix}.asp.tdnn"),
+        "asp_conv": _conv(sd, f"{prefix}.asp.conv"),
+        "asp_norm": _ln(sd, f"{prefix}.asp_norm"),
+        "fc": _conv(sd, f"{prefix}.fc"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PRETSSEL expressive vocoder (reference models/generator/vocoder.py; the
+# checkpoint stores fairseq2 module paths directly, generator/loader.py:24-29)
+# ---------------------------------------------------------------------------
+
+def _fft_layers_tree(sd, prefix: str) -> tuple:
+    """FeedForwardTransformer: layers.N.{self_attn, self_attn_layer_norm,
+    conv1d.conv1/conv2, conv1d_layer_norm, film} + layer_norm."""
+    n = _num_layers(sd, rf"{re.escape(prefix)}\.layers\.([0-9]+)\.")
+    layers = []
+    for i in range(n):
+        p = f"{prefix}.layers.{i}"
+        lp = {
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+            "conv1": _conv(sd, f"{p}.conv1d.conv1"),
+            "conv2": _conv(sd, f"{p}.conv1d.conv2"),
+            "conv_layer_norm": _ln(sd, f"{p}.conv1d_layer_norm"),
+        }
+        if f"{p}.film.proj.weight" in sd:
+            lp["film"] = _film(sd, f"{p}.film")
+        layers.append(lp)
+    return layers, _ln(sd, f"{prefix}.layer_norm")
+
+
+def _variance_predictor_tree(sd, prefix: str) -> dict:
+    p = {
+        "conv1": _conv(sd, f"{prefix}.conv1.0") if f"{prefix}.conv1.0.weight" in sd
+        else _conv(sd, f"{prefix}.conv1"),
+        "ln1": _ln(sd, f"{prefix}.ln1"),
+        "conv2": _conv(sd, f"{prefix}.conv2.0") if f"{prefix}.conv2.0.weight" in sd
+        else _conv(sd, f"{prefix}.conv2"),
+        "ln2": _ln(sd, f"{prefix}.ln2"),
+        "proj": _linear(sd, f"{prefix}.proj"),
+    }
+    if f"{prefix}.film.proj.weight" in sd:
+        p["film"] = _film(sd, f"{prefix}.film")
+    return p
+
+
+def _conv_wn(sd, prefix: str, *, transpose: bool = False) -> dict:
+    if f"{prefix}.weight_g" in sd:
+        w = _fold_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+    else:
+        w = np.asarray(sd[f"{prefix}.weight"])
+    p = {"weight": _convT_w(w) if transpose else _conv_w(w)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _lstm_tree(sd, prefix: str) -> list:
+    """torch LSTM -> list of {"wx": {weight,bias}, "wh": {weight}} with the two
+    torch biases folded into one."""
+    layers = []
+    k = 0
+    while f"{prefix}.weight_ih_l{k}" in sd:
+        layers.append({
+            "wx": {"weight": _lin_w(sd[f"{prefix}.weight_ih_l{k}"]),
+                   "bias": np.asarray(sd[f"{prefix}.bias_ih_l{k}"])
+                   + np.asarray(sd[f"{prefix}.bias_hh_l{k}"])},
+            "wh": {"weight": _lin_w(sd[f"{prefix}.weight_hh_l{k}"])},
+        })
+        k += 1
+    return layers
+
+
+def pretssel_tree_from_pt(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Build the models/pretssel/vocoder.py pytree from a PRETSSEL checkpoint.
+
+    ``cfg`` is a PretsselConfig — needed to decode the reference's flat
+    interleaved ``layers`` ModuleList (generator/vocoder.py:384-453): postnet
+    convs first, then four SEANet chunks interleaved with HiFi-GAN conv_pre /
+    upsamplers / resblocks / conv_post. gcmvn stats are card data, not
+    checkpoint tensors — left at defaults for the caller to fill."""
+    pn = cfg.pn_layers
+    n_ups = len(cfg.hifigan.upsample_rates)
+    n_k = len(cfg.hifigan.resblock_kernel_sizes)
+    n_ratios = len(cfg.seanet.ratios)
+    n_streams = 6 * n_ratios + 8
+    chunk = n_streams // 4
+
+    def li(s: int) -> str:
+        """stream_layers position -> self.layers index (vocoder.py:386-453)."""
+        if s < chunk:
+            idx = pn + s
+        elif s < 2 * chunk:
+            idx = pn + 1 + s
+        elif s < 3 * chunk:
+            idx = pn + 1 + n_ups + s
+        else:
+            idx = pn + 1 + n_ups + n_ups * n_k + s
+        return f"layers.{idx}"
+
+    def sconv(s: int) -> dict:         # StreamableConv1d
+        return _conv_wn(sd, f"{li(s)}.conv.conv")
+
+    def sconvtr(s: int) -> dict:       # StreamableConvTranspose1d
+        return _conv_wn(sd, f"{li(s)}.convtr.convtr", transpose=True)
+
+    def sres(s: int) -> dict:          # StreamableResnetBlock
+        p = {"conv1": _conv_wn(sd, f"{li(s)}.block.1.conv.conv"),
+             "conv2": _conv_wn(sd, f"{li(s)}.block.3.conv.conv")}
+        if f"{li(s)}.shortcut.conv.conv.weight" in sd:
+            p["shortcut"] = _conv_wn(sd, f"{li(s)}.shortcut.conv.conv")
+        return p
+
+    seanet: dict = {"enc_in": sconv(0), "enc_blocks": [], "dec_blocks": []}
+    for bi in range(n_ratios):
+        seanet["enc_blocks"].append({"res": sres(1 + 3 * bi),
+                                     "down": sconv(3 + 3 * bi)})
+    seanet["enc_lstm"] = _lstm_tree(sd, f"{li(1 + 3 * n_ratios)}.lstm")
+    seanet["enc_out"] = sconv(3 + 3 * n_ratios)
+    seanet["dec_in"] = sconv(4 + 3 * n_ratios)
+    seanet["dec_lstm"] = _lstm_tree(sd, f"{li(5 + 3 * n_ratios)}.lstm")
+    for bi in range(n_ratios):
+        seanet["dec_blocks"].append({"up": sconvtr(7 + 3 * n_ratios + 3 * bi),
+                                     "res": sres(8 + 3 * n_ratios + 3 * bi)})
+    seanet["dec_out"] = sconv(7 + 6 * n_ratios)
+
+    postnet = []
+    for i in range(pn):
+        # Sequential(Conv1d, BatchNorm1d, [Tanh], Dropout) -> conv + folded BN
+        postnet.append({"conv": _conv(sd, f"layers.{i}.0"),
+                        "norm": _bn_fold(sd, f"layers.{i}.1")})
+
+    resblocks = []
+    for i in range(n_ups):
+        for j in range(n_k):
+            p = f"layers.{pn + 3 * chunk + n_ups + 1 + i * n_k + j}"
+            n_c = _num_layers(sd, rf"{re.escape(p)}\.convs1\.([0-9]+)\.")
+            resblocks.append({
+                "convs1": [_conv_wn(sd, f"{p}.convs1.{c}") for c in range(n_c)],
+                "convs2": [_conv_wn(sd, f"{p}.convs2.{c}") for c in range(n_c)],
+            })
+    hifigan = {
+        "conv_pre": _conv_wn(sd, f"layers.{pn + chunk}"),
+        "upsampler": [_conv_wn(sd, f"layers.{pn + 2 * chunk + 1 + i}",
+                               transpose=True) for i in range(n_ups)],
+        "resblocks": resblocks,
+        "conv_post": _conv_wn(
+            sd, f"layers.{pn + n_streams + n_ups * (1 + n_k) + 1}"),
+    }
+
+    enc_layers, enc_norm = _fft_layers_tree(sd, "encoder")
+    dec_layers, dec_norm = _fft_layers_tree(sd, "decoder")
+    vp = "decoder_frontend.variance_adaptor.duration_predictor"
+    params = {
+        "prosody_encoder": ecapa_tree_from_fairseq2(
+            sd, prefix="encoder_frontend.prosody_encoder"),
+        "embed_tokens": _embed(sd, "encoder_frontend.embed_tokens"),
+        "embed_lang": _embed(sd, "encoder_frontend.embed_lang"),
+        "pos_emb_alpha_enc": np.asarray(sd["encoder_frontend.pos_emb_alpha"]),
+        "pos_emb_alpha_dec": np.asarray(sd["decoder_frontend.pos_emb_alpha"]),
+        "encoder_layers": enc_layers,
+        "encoder_norm": enc_norm,
+        "duration_predictor": _variance_predictor_tree(sd, vp),
+        "decoder_layers": dec_layers,
+        "decoder_norm": dec_norm,
+        "final_proj": _linear(sd, "final_proj"),
+        "postnet": postnet,
+        "hifigan": hifigan,
+        "seanet": seanet,
+        "mean": np.asarray(sd["mean"]),
+        "scale": np.asarray(sd["scale"]),
+        "gcmvn_mean": np.zeros_like(np.asarray(sd["mean"])),
+        "gcmvn_std": np.ones_like(np.asarray(sd["scale"])),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# UnitY2 forced aligner (reference models/aligner/loader.py:22-75)
+# ---------------------------------------------------------------------------
+
+def aligner_tree_from_pt(ckpt: Mapping, *,
+                         char_spm_pieces: Optional[Sequence[str]] = None) -> dict:
+    """Accepts either the raw checkpoint (text_emb_state / unit_emb_state /
+    aligner_state sub-dicts) or an already-converted flat dict. Applies the
+    char-embedding reorder to sorted-SPM order (loader.py:52-56,61-75)."""
+    if "aligner_state" in ckpt:
+        sd = {f"alignment_encoder.{k}": np.asarray(v)
+              for k, v in ckpt["aligner_state"].items()}
+        sd["alignment_frontend.embed_text.weight"] = np.asarray(
+            ckpt["text_emb_state"]["weight"])
+        sd["alignment_frontend.embed_unit.weight"] = np.asarray(
+            ckpt["unit_emb_state"]["weight"])
+    else:
+        sd = {k: np.asarray(v) for k, v in (ckpt.get("model") or ckpt).items()}
+
+    te = np.asarray(sd["alignment_frontend.embed_text.weight"]).copy()
+    if char_spm_pieces is not None:
+        spm_order = list(char_spm_pieces)[4:]
+        spm_to_dict = {ch: i for i, ch in enumerate(sorted(spm_order), start=4)}
+        mapping = [0, 1, 2, 3] + [spm_to_dict[ch] for ch in spm_order]
+        te[np.arange(len(mapping))] = te[mapping]
+
+    def tower(name: str) -> List[dict]:
+        # Sequential slots: conv at 1+3i (conv,relu,dropout / conv,dropout,permute)
+        idx = sorted({int(m.group(1)) for k in sd
+                      if (m := re.match(
+                          rf"alignment_encoder\.{name}\.([0-9]+)\.weight$", k))})
+        return [_conv(sd, f"alignment_encoder.{name}.{i}") for i in idx]
+
+    return {
+        "embed_text": {"embedding": te},
+        "embed_unit": {"embedding": np.asarray(
+            sd["alignment_frontend.embed_unit.weight"])},
+        "t_conv": tower("t_conv"),
+        "f_conv": tower("f_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# XLSR wav2vec2 (unit extractor; reference wav2vec2_layer_output.py:23-52 via
+# fairseq2's wav2vec2 loader key map)
+# ---------------------------------------------------------------------------
+
+_W2V2_RAW_RULES = [
+    (r"^encoder\.pos_conv\.0\.", "encoder_frontend.pos_encoder.conv."),
+    (r"^layer_norm\.", "encoder_frontend.post_extract_layer_norm."),
+    (r"^post_extract_proj\.", "encoder_frontend.model_dim_proj."),
+    (r"^feature_extractor\.conv_layers\.([0-9]+)\.0\.",
+     r"encoder_frontend.feature_extractor.layers.\1.conv."),
+    (r"^feature_extractor\.conv_layers\.([0-9]+)\.2\.1\.",
+     r"encoder_frontend.feature_extractor.layers.\1.layer_norm."),
+    (r"^encoder\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+     r"encoder.layers.\1.self_attn.output_proj."),
+    (r"^encoder\.layers\.([0-9]+)\.self_attn\.",
+     r"encoder.layers.\1.self_attn."),
+    (r"^encoder\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+     r"encoder.layers.\1.self_attn_layer_norm."),
+    (r"^encoder\.layers\.([0-9]+)\.fc1\.", r"encoder.layers.\1.ffn.inner_proj."),
+    (r"^encoder\.layers\.([0-9]+)\.fc2\.", r"encoder.layers.\1.ffn.output_proj."),
+    (r"^encoder\.layers\.([0-9]+)\.final_layer_norm\.",
+     r"encoder.layers.\1.ffn_layer_norm."),
+    (r"^encoder\.layer_norm\.", "encoder.layer_norm."),
+    (r"^encoder_frontend\.", "encoder_frontend."),   # fairseq2-native passthrough
+    (r"^encoder\.", "encoder."),
+]
+
+
+def wav2vec2_raw_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
+    """fairseq1 or fairseq2 wav2vec2 keys -> models/unit_extractor/wav2vec2_raw
+    pytree (frontend + encoder only; quantizer/final_proj pretraining heads are
+    dropped, mirroring Wav2Vec2LayerOutputModel)."""
+    f2: Dict[str, np.ndarray] = {}
+    compiled = [(re.compile(p), r) for p, r in _W2V2_RAW_RULES]
+    for key, val in sd.items():
+        key = key.removeprefix("w2v_encoder.w2v_model.")
+        for rx, repl in compiled:
+            if rx.match(key):
+                f2[rx.sub(repl, key)] = np.asarray(val)
+                break
+
+    fe = "encoder_frontend.feature_extractor.layers"
+    n_convs = _num_layers(f2, rf"{re.escape(fe)}\.([0-9]+)\.")
+    convs = [{"conv": _conv(f2, f"{fe}.{i}.conv"),
+              "norm": _ln(f2, f"{fe}.{i}.layer_norm")} for i in range(n_convs)]
+
+    pc = "encoder_frontend.pos_encoder.conv"
+    pos_conv = _conv_wn(f2, pc)
+
+    n = _num_layers(f2, r"encoder\.layers\.([0-9]+)\.")
+    layers = [{
+        "self_attn_layer_norm": _ln(f2, f"encoder.layers.{i}.self_attn_layer_norm"),
+        "self_attn": _mha(f2, f"encoder.layers.{i}.self_attn"),
+        "ffn": {"layer_norm": _ln(f2, f"encoder.layers.{i}.ffn_layer_norm"),
+                "inner_proj": _linear(f2, f"encoder.layers.{i}.ffn.inner_proj"),
+                "output_proj": _linear(f2, f"encoder.layers.{i}.ffn.output_proj")},
+    } for i in range(n)]
+
+    return {
+        "feature_extractor": convs,
+        "post_extract_norm": _ln(f2, "encoder_frontend.post_extract_layer_norm"),
+        "post_extract_proj": _linear(f2, "encoder_frontend.model_dim_proj"),
+        "pos_conv": pos_conv,
+        "encoder_norm": _ln(f2, "encoder.layer_norm"),
+        "layers": _stack(layers),
+    }
 
 
 def load_pt_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -49,6 +49,11 @@ def main() -> None:
     parser.add_argument("--output_path", type=str, default="eval_out")
     parser.add_argument("--local_hf_path", type=str, default=None)
     parser.add_argument("--ref_field", type=str, default="tgt_text")
+    parser.add_argument("--whisper_model_name", type=str, default=None,
+                        help="HF Whisper checkpoint (name or local path) for "
+                             "ASR-BLEU comparable to the reference's published "
+                             "numbers (reference evaluate.py:428); falls back "
+                             "to this framework's own ASR when unset/missing")
     parser.add_argument("--compute_asr_bleu", action="store_true",
                         help="for speech output: transcribe synthesized audio with "
                              "this framework's own ASR and score BLEU vs refs "
@@ -149,11 +154,10 @@ def main() -> None:
             output_path=str(out_dir / f"{args.task}_scores.json"))
         logger.info("metrics: %s", json.dumps(metrics))
     elif args.compute_asr_bleu:
-        # ASR-BLEU on the synthesized waveforms with this framework's own ASR
+        # ASR-BLEU on the synthesized waveforms: Whisper when a checkpoint is
+        # reachable (reference-comparable numbers), else this framework's ASR
         from seamless_communication_tpu.cli.eval_utils import compute_asr_bleu
-        from seamless_communication_tpu.inference.transcriber import Transcriber
 
-        asr = Transcriber(params, cfg, text_tok)
         wavs = []
         for i in range(len(hyps)):
             p = wav_dir / f"{i}.wav"
@@ -163,14 +167,30 @@ def main() -> None:
             else:
                 wavs.append(np.zeros(400, np.float32))
 
-        def transcribe(batch):
-            return [asr.transcribe(w, args.tgt_lang).text for w in batch]
+        transcribe = None
+        asr_kind = "whisper"
+        if args.whisper_model_name:
+            try:
+                from seamless_communication_tpu.cli.eval_utils import (
+                    make_whisper_transcriber,
+                )
+                transcribe = make_whisper_transcriber(args.whisper_model_name,
+                                                      lang=args.tgt_lang)
+            except Exception as exc:  # no weights / no net: fall back
+                logger.warning("whisper unavailable (%s); using own ASR", exc)
+        if transcribe is None:
+            from seamless_communication_tpu.inference.transcriber import Transcriber
+            asr = Transcriber(params, cfg, text_tok)
+            asr_kind = "own_asr"
+
+            def transcribe(batch):
+                return [asr.transcribe(w, args.tgt_lang).text for w in batch]
 
         score = compute_asr_bleu(wavs, refs, transcribe=transcribe,
                                  lang=args.tgt_lang)
         with open(out_dir / "s2st_asr_bleu.json", "w") as f:
-            json.dump({"asr_bleu": score}, f)
-        logger.info("ASR-BLEU: %.2f", score)
+            json.dump({"asr_bleu": score, "asr": asr_kind}, f)
+        logger.info("ASR-BLEU (%s): %.2f", asr_kind, score)
 
 
 if __name__ == "__main__":

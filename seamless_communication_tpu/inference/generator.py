@@ -142,13 +142,21 @@ class UnitYGenerator:
             self._jit_cache["redecode"] = jax.jit(run)
         return self._jit_cache["redecode"]
 
-    def _nar_t2u_fn(self, max_unit_len: int):
-        key = ("nar_t2u", max_unit_len)
+    def _nar_t2u_fn(self, max_unit_len: int, with_prosody: bool):
+        key = ("nar_t2u", max_unit_len, with_prosody)
         if key not in self._jit_cache:
-            def run(params, feats, lens, char_ids, char_counts, duration_factor):
+            def run(params, feats, lens, char_ids, char_counts, duration_factor,
+                    prosody_fbank, prosody_lens):
+                prosody = None
+                if with_prosody:
+                    # ECAPA embed conditions both prosody_proj and FiLM
+                    # (reference generator.py:306-314)
+                    prosody = unity.encode_prosody(params, self.cfg,
+                                                   prosody_fbank, prosody_lens)
                 out = unity.t2u_nar(params, self.cfg, feats, lens, char_ids,
                                     char_counts, max_unit_len=max_unit_len,
-                                    duration_factor=duration_factor)
+                                    duration_factor=duration_factor,
+                                    prosody_embed=prosody, film_cond=prosody)
                 units = jnp.argmax(out.unit_logits, axis=-1)
                 return units, out.unit_lengths, out.durations
             self._jit_cache[key] = jax.jit(run)
@@ -211,8 +219,13 @@ class UnitYGenerator:
                        enc: "unity.EncoderOutput", tgt_lang: str, *,
                        duration_factor: float = 1.0,
                        max_unit_len: int = 2048,
-                       ngram_filtering: bool = False):
-        """Pass 2: re-decode text, run T2U, detokenize to raw units."""
+                       ngram_filtering: bool = False,
+                       prosody_fbank: Optional[np.ndarray] = None,
+                       prosody_lens: Optional[np.ndarray] = None):
+        """Pass 2: re-decode text, run T2U, detokenize to raw units.
+
+        ``prosody_fbank``: gcmvn-normalized source fbank for expressive models
+        (reference generator.py:306-314); ignored for non-expressive configs."""
         T = _bucket(int(text_lens.max()), 16)
         ids = jnp.asarray(text_tokens[:, :T])
         feats = self._redecode_fn()(self.params, ids, jnp.asarray(text_lens),
@@ -223,9 +236,15 @@ class UnitYGenerator:
                 self.text_tokenizer, self.char_tokenizer,
                 np.asarray(text_tokens[:, :T]),
                 max_char_len=_bucket(int(text_lens.max()) * 12, 64))
-            units, unit_lens, durs = self._nar_t2u_fn(max_unit_len)(
+            with_prosody = (prosody_fbank is not None
+                            and "prosody_encoder" in self.params)
+            pf = jnp.asarray(prosody_fbank) if with_prosody else \
+                jnp.zeros((ids.shape[0], 1, 80), self.dtype)
+            pl = jnp.asarray(prosody_lens) if with_prosody else \
+                jnp.ones((ids.shape[0],), jnp.int32)
+            units, unit_lens, durs = self._nar_t2u_fn(max_unit_len, with_prosody)(
                 self.params, feats, jnp.asarray(text_lens), jnp.asarray(char_ids),
-                jnp.asarray(char_counts), duration_factor)
+                jnp.asarray(char_counts), duration_factor, pf, pl)
             units = np.asarray(units)
             unit_lens = np.asarray(unit_lens)
             # token-space -> raw units (offset -4, EOS->pad)

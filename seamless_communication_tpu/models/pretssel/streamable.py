@@ -184,8 +184,12 @@ def seanet_init(key: jax.Array, cfg: SeanetConfig, *, dtype=jnp.float32) -> dict
 
 
 def seanet_forward(p: dict, x: jax.Array, cfg: SeanetConfig) -> jax.Array:
-    """(B, T, 1) waveform -> (B, ~T, 1) refined waveform."""
-    h = streamable_conv(p["enc_in"], x, causal=cfg.causal)
+    """(B, T, 1) waveform -> (B, ~T, 1) refined waveform.
+
+    The first stream conv carries a Tanh pre-activation in the reference
+    (generator/vocoder.py:222-233 passes activation=Tanh(); StreamableConv1d
+    applies it BEFORE the conv, streamable.py:260-262)."""
+    h = streamable_conv(p["enc_in"], jnp.tanh(x), causal=cfg.causal)
     for blk, ratio in zip(p["enc_blocks"], reversed(list(cfg.ratios))):
         h = resnet_block(blk["res"], h, causal=cfg.causal)
         h = _elu(h)

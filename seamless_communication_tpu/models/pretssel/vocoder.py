@@ -62,7 +62,8 @@ class PretsselConfig(NamedTuple):
     dur_predictor_kernel: int = 3
     hifigan: HifiGanConfig = HifiGanConfig(
         model_in_dim=80, upsample_rates=(5, 4, 4, 2),
-        upsample_kernel_sizes=(10, 8, 8, 4), upsample_initial_channel=512)
+        upsample_kernel_sizes=(10, 8, 8, 4), upsample_initial_channel=512,
+        add_ups_out_pad=True, final_tanh=False)
     seanet: SeanetConfig = SeanetConfig()
     ecapa: EcapaConfig = EcapaConfig()
     pos_pad_idx: int = 1
@@ -86,13 +87,17 @@ def pretssel_init(key: jax.Array, cfg: PretsselConfig, *, dtype=jnp.float32) -> 
                   for _ in range(cfg.num_encoder_layers)]
     dec_layers = [fft_layer_init(next(ks), fft, dtype=dtype)
                   for _ in range(cfg.num_decoder_layers)]
+    # PostNet: Conv1d + BatchNorm1d (+ tanh except last). Inference BN is a
+    # per-channel affine, folded into {"scale","bias"} at load time (reference
+    # generator/vocoder.py:365-385 uses BatchNorm1d, NOT layer norm).
     pn = []
     ch_in = cfg.mel_dim
     for i in range(cfg.pn_layers):
         ch_out = cfg.pn_conv_dim if i < cfg.pn_layers - 1 else cfg.mel_dim
         pn.append({"conv": conv1d_init(next(ks), ch_in, ch_out, cfg.pn_kernel_size,
                                        dtype=dtype),
-                   "norm": layer_norm_init(ch_out, dtype=dtype)})
+                   "norm": {"scale": jnp.ones((ch_out,), dtype),
+                            "bias": jnp.zeros((ch_out,), dtype)}})
         ch_in = ch_out
     return {
         "prosody_encoder": ecapa_init(next(ks), cfg.ecapa, dtype=dtype),
@@ -113,11 +118,12 @@ def pretssel_init(key: jax.Array, cfg: PretsselConfig, *, dtype=jnp.float32) -> 
         "postnet": pn,
         "hifigan": hifigan_init(next(ks), cfg.hifigan, dtype=dtype),
         "seanet": seanet_init(next(ks), cfg.seanet, dtype=dtype),
-        # per-card normalization stats
+        # per-card normalization stats; mean/scale are per-mel-channel buffers
+        # loaded from the checkpoint (reference vocoder.py:446-449)
         "gcmvn_mean": jnp.zeros((cfg.mel_dim,), jnp.float32),
         "gcmvn_std": jnp.ones((cfg.mel_dim,), jnp.float32),
-        "mean": jnp.zeros((1,), jnp.float32),
-        "scale": jnp.ones((1,), jnp.float32),
+        "mean": jnp.zeros((cfg.mel_dim,), jnp.float32),
+        "scale": jnp.ones((cfg.mel_dim,), jnp.float32),
     }
 
 
@@ -126,7 +132,8 @@ def pretssel_16khz_config() -> PretsselConfig:
     return PretsselConfig(
         hifigan=HifiGanConfig(model_in_dim=80, upsample_rates=(5, 4, 4, 2),
                               upsample_kernel_sizes=(10, 8, 8, 4),
-                              upsample_initial_channel=512),
+                              upsample_initial_channel=512,
+                              add_ups_out_pad=True, final_tanh=False),
         seanet=SeanetConfig(ratios=(8, 5, 4, 2), lstm=2))
 
 
@@ -135,7 +142,8 @@ def pretssel_24khz_config() -> PretsselConfig:
     return PretsselConfig(
         hifigan=HifiGanConfig(model_in_dim=80, upsample_rates=(5, 4, 4, 3),
                               upsample_kernel_sizes=(10, 8, 8, 6),
-                              upsample_initial_channel=512),
+                              upsample_initial_channel=512,
+                              add_ups_out_pad=True, final_tanh=False),
         seanet=SeanetConfig(ratios=(8, 5, 4, 2), lstm=2))
 
 
@@ -186,11 +194,13 @@ def pretssel_forward(params: dict, cfg: PretsselConfig, units: jax.Array,
     x = layer_norm(params["decoder_norm"], x)
     mel = linear(params["final_proj"], x)                            # (B,T,80)
 
-    # postnet (tanh convs, residual)
+    # postnet (conv + folded-BN affine + tanh except last, residual;
+    # reference vocoder.py:365-385,508-513)
     pn = mel
     for i, lp in enumerate(params["postnet"]):
         pn = conv1d(lp["conv"], pn, padding="SAME")
-        pn = layer_norm(lp["norm"], pn)
+        pn = pn * lp["norm"]["scale"].astype(pn.dtype) \
+            + lp["norm"]["bias"].astype(pn.dtype)
         if i < cfg.pn_layers - 1:
             pn = jnp.tanh(pn)
     mel = mel + pn

@@ -20,6 +20,7 @@ from typing import Callable, Dict, Optional
 import jax.numpy as jnp
 
 from seamless_communication_tpu.models.nllb.model import NllbConfig
+from seamless_communication_tpu.models.pretssel.ecapa_tdnn import EcapaConfig
 from seamless_communication_tpu.models.unity.t2u import ArT2UConfig, NarT2UConfig
 from seamless_communication_tpu.models.wav2vec2.encoder import SpeechEncoderConfig
 from seamless_communication_tpu.ops.conformer import ConformerConfig
@@ -35,6 +36,9 @@ class UnitYConfig:
     nar_t2u: Optional[NarT2UConfig] = None
     ar_t2u: Optional[ArT2UConfig] = None
     prosody_encoder_dim: int = 0      # ECAPA output dim (512) when expressive
+    # expressive models carry their own ECAPA prosody encoder (reference
+    # builder.py:472-478 global_prosody; inference/generator.py:306-314)
+    ecapa: Optional[EcapaConfig] = None
     arch: str = "base_v2"
 
 
@@ -111,6 +115,7 @@ def _expressivity_v2() -> UnitYConfig:
                              max_seq_len=10000, film_cond_dim=512,
                              prosody_proj_dim=512),
         prosody_encoder_dim=512,
+        ecapa=EcapaConfig(),
         arch="expressivity_v2",
     )
 
@@ -177,6 +182,27 @@ def _tiny_v2() -> UnitYConfig:
                              char_vocab_size=64, dur_predictor_hidden=32,
                              max_seq_len=512),
         arch="tiny_v2",
+    )
+
+
+@register_arch("tiny_expressive")
+def _tiny_expressive() -> UnitYConfig:
+    base = _tiny_v2()
+    return UnitYConfig(
+        model_dim=64,
+        speech=base.speech,
+        nllb=NllbConfig(dim=64, num_encoder_layers=2, num_decoder_layers=2,
+                        num_heads=4, ffn_inner_dim=128, vocab_size=256,
+                        max_seq_len=512, activation="gelu"),
+        nar_t2u=NarT2UConfig(model_dim=64, num_encoder_layers=2,
+                             num_decoder_layers=2, num_heads=4, ffn_inner_dim=128,
+                             unit_vocab_size=112, char_vocab_size=64,
+                             dur_predictor_hidden=32, max_seq_len=512,
+                             film_cond_dim=32, prosody_proj_dim=32),
+        prosody_encoder_dim=32,
+        ecapa=EcapaConfig(channels=(32, 32, 32, 32, 96), attention_channels=16,
+                          res2net_scale=4, se_channels=16, embed_dim=32),
+        arch="tiny_expressive",
     )
 
 

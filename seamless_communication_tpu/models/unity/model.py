@@ -19,6 +19,9 @@ from seamless_communication_tpu.models.nllb.model import (
     text_decoder_cache, text_decoder_forward, text_decoder_init, text_decoder_step,
     text_encoder_forward, text_encoder_init,
 )
+from seamless_communication_tpu.models.pretssel.ecapa_tdnn import (
+    ecapa_forward, ecapa_init,
+)
 from seamless_communication_tpu.models.unity.builder import UnitYConfig
 from seamless_communication_tpu.models.unity.t2u import (
     ar_t2u_init, nar_t2u_forward, nar_t2u_init,
@@ -44,6 +47,10 @@ def unity_init(key: jax.Array, cfg: UnitYConfig, *, dtype=jnp.float32) -> dict:
         params["t2u"] = nar_t2u_init(ks[3], cfg.nar_t2u, dtype=dtype)
     elif cfg.ar_t2u is not None:
         params["t2u"] = ar_t2u_init(ks[3], cfg.ar_t2u, dtype=dtype)
+    if cfg.ecapa is not None:
+        # expressive models own an ECAPA prosody encoder (reference
+        # builder.py:472-478 global_prosody, converted as prosody_encoder_model)
+        params["prosody_encoder"] = ecapa_init(ks[4], cfg.ecapa, dtype=dtype)
     return params
 
 
@@ -97,6 +104,17 @@ def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput):
                                   max_len, kv_int8=kv_int8)
 
     return step_fn, cache_fn
+
+
+def encode_prosody(params: dict, cfg: UnitYConfig, fbank: jax.Array,
+                   lengths: jax.Array) -> jax.Array:
+    """gcmvn-normalized fbank -> (B, 1, prosody_dim) ECAPA embedding, used as
+    both the T2U prosody_proj input and the FiLM condition (reference
+    inference/generator.py:306-314, models/unity/model.py:379-402)."""
+    mask = lengths_to_padding_mask(lengths, fbank.shape[1])
+    emb = ecapa_forward(params["prosody_encoder"], fbank, cfg.ecapa,
+                        padding_mask=mask)
+    return emb[:, None, :]
 
 
 def t2u_nar(params: dict, cfg: UnitYConfig, text_dec_out: jax.Array,

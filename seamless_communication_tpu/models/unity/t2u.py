@@ -249,6 +249,57 @@ def nar_t2u_forward(params: dict, cfg: NarT2UConfig, text_dec_out: jax.Array,
                           duration_factor=duration_factor, film_cond=film_cond)
 
 
+class NarT2UTrainOutput(NamedTuple):
+    unit_logits: jax.Array   # (B, U_max, unit_vocab) fp32 (teacher-forced durs)
+    log_dur_pred: jax.Array  # (B, C_max) raw predictor output
+    unit_lengths: jax.Array  # (B,) from ground-truth durations
+    char_mask: jax.Array     # (B, C_max) True on real chars
+
+
+def nar_t2u_train(params: dict, cfg: NarT2UConfig, text_dec_out: jax.Array,
+                  text_lens: jax.Array, char_ids: jax.Array,
+                  char_counts: jax.Array, gt_durations: jax.Array, *,
+                  max_unit_len: int,
+                  prosody_embed: Optional[jax.Array] = None,
+                  film_cond: Optional[jax.Array] = None) -> NarT2UTrainOutput:
+    """Teacher-forced NAR T2U pass for finetuning (exceeds the reference, whose
+    trainer only supports AR T2U — cli/m4t/finetune/trainer.py:124-150 raises
+    NotImplementedError for NAR): upsample with GROUND-TRUTH per-char durations
+    (from the UnitY2 aligner) and return both unit logits and the raw duration
+    predictions for the FastSpeech2-style log-duration loss."""
+    text_mask = lengths_to_padding_mask(text_lens, text_dec_out.shape[1])
+    enc = transformer_encoder(params["encoder"], text_dec_out, cfg.enc_cfg(),
+                              padding_mask=text_mask)
+    if prosody_embed is not None and "prosody_proj" in params:
+        enc = enc + linear(params["prosody_proj"], prosody_embed)
+
+    C = char_ids.shape[1]
+    char_hidden, char_total = hard_upsample(enc, char_counts, C)
+    char_mask = lengths_to_padding_mask(char_total, C)
+    char_emb = embedding(params["embed_char"], char_ids, scale=cfg.model_dim ** 0.5)
+    char_hidden = _alpha_sin_pos(char_hidden, params["pos_emb_alpha_char"],
+                                 cfg.pos_pad_idx) + char_emb
+
+    log_dur = variance_predictor(params["duration_predictor"], char_hidden,
+                                 char_mask, cond=film_cond)
+
+    dur = jnp.where(char_mask, gt_durations.astype(jnp.int32), 0)
+    x, unit_total = hard_upsample(char_hidden, dur, max_unit_len)
+    unit_total = jnp.minimum(unit_total, max_unit_len)
+    x = _alpha_sin_pos(x, params["pos_emb_alpha"], cfg.pos_pad_idx)
+
+    unit_mask = lengths_to_padding_mask(unit_total, max_unit_len)
+    bias = padding_bias(unit_mask)
+
+    def body(h, layer_p):
+        return fft_layer(layer_p, h, bias, unit_mask, cfg, cond=film_cond), None
+
+    x, _ = jax.lax.scan(body, x, params["decoder_layers"])
+    x = layer_norm(params["layer_norm"], x)
+    logits = linear(params["final_proj"], x).astype(jnp.float32)
+    return NarT2UTrainOutput(logits, log_dur, unit_total, char_mask)
+
+
 # ---------------------------------------------------------------------------
 # AR T2U model (v1) — reference models/unity/model.py:263-327
 # ---------------------------------------------------------------------------

@@ -28,6 +28,12 @@ class HifiGanConfig(NamedTuple):
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
     leaky_relu_slope: float = 0.1
+    # PRETSSEL variant (reference generator/vocoder.py:407-421,552-556): the
+    # upsampler uses padding=(k-u)//2 + u%2 with output_padding=u%2, and the
+    # conv_post output is returned raw (the tanh is applied by the caller on
+    # the skip path only).
+    add_ups_out_pad: bool = False
+    final_tanh: bool = True
 
     @property
     def total_upsample(self) -> int:
@@ -87,8 +93,10 @@ def hifigan_forward(params: dict, x: jax.Array, cfg: HifiGanConfig) -> jax.Array
     nk = len(cfg.resblock_kernel_sizes)
     for i, (rate, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         h = jax.nn.leaky_relu(h, cfg.leaky_relu_slope)
+        out_pad = rate % 2 if cfg.add_ups_out_pad else 0
         h = conv_transpose1d(params["upsampler"][i], h, stride=rate,
-                             padding=(k - rate) // 2)
+                             padding=(k - rate) // 2 + out_pad,
+                             output_padding=out_pad)
         acc = None
         for j in range(nk):
             rb = params["resblocks"][i * nk + j]
@@ -98,4 +106,6 @@ def hifigan_forward(params: dict, x: jax.Array, cfg: HifiGanConfig) -> jax.Array
         h = acc / nk
     h = jax.nn.leaky_relu(h, 0.01)   # torch default slope for the final activation
     h = conv1d(params["conv_post"], h, padding="SAME")
-    return jnp.tanh(h)[..., 0]
+    if cfg.final_tanh:
+        h = jnp.tanh(h)
+    return h[..., 0]

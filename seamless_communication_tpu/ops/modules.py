@@ -157,18 +157,20 @@ def conv_transpose1d_init(key: jax.Array, in_ch: int, out_ch: int, kernel_size: 
 
 
 def conv_transpose1d(params: dict, x: jax.Array, *, stride: int,
-                     padding: int = 0) -> jax.Array:
+                     padding: int = 0, output_padding: int = 0) -> jax.Array:
     """Transposed 1-D conv on (batch, time, channels) matching torch
-    ``ConvTranspose1d(stride=s, padding=p)``: out_len = (in_len-1)*s - 2p + k.
-    Used by the HiFi-GAN upsampler stack (reference hifigan.py:150-160)."""
+    ``ConvTranspose1d(stride=s, padding=p, output_padding=op)``:
+    out_len = (in_len-1)*s - 2p + k + op (op extends the right edge).
+    Used by the HiFi-GAN upsampler stacks (reference hifigan.py:150-160;
+    PRETSSEL's add_ups_out_pad variant, generator/vocoder.py:407-421)."""
     w = params["weight"].astype(x.dtype)
     k = w.shape[0]
     # torch conv_transpose == dilated conv with spatially-flipped kernel
-    # padding arithmetic: pad_lo = pad_hi = k - 1 - padding
+    # padding arithmetic: pad_lo = pad_hi = k - 1 - padding (+op on the right)
     y = jax.lax.conv_general_dilated(
         x, jnp.flip(w, 0),
         window_strides=(1,),
-        padding=[(k - 1 - padding, k - 1 - padding)],
+        padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )

@@ -39,6 +39,38 @@ def energy_vad_probs(waveform: np.ndarray, window_size: int = 512) -> np.ndarray
     return np.clip((energy - lo) / max(hi - lo, 1e-6), 0.0, 1.0).astype(np.float32)
 
 
+def make_silero_probs_fn(model_path: str, *, sample_rate: int = 16000,
+                         window_size: int = 512
+                         ) -> Callable[[np.ndarray], np.ndarray]:
+    """Wrap a real silero-vad model (torchscript .jit file, the format
+    torch.hub distributes — reference segment/silero_vad.py:40-46 downloads it
+    via torch.hub) as a ``probs_fn`` for :class:`VADSegmenter`. The model is
+    stateful and sequential, so windows are scored in order with a state reset
+    per utterance (reference SileroVADSegmenter uses the same
+    512-samples@16 kHz windows)."""
+    import torch
+
+    model = torch.jit.load(model_path, map_location="cpu")
+    model.eval()
+
+    def probs_fn(waveform: np.ndarray) -> np.ndarray:
+        try:
+            model.reset_states()
+        except (AttributeError, RuntimeError):
+            pass
+        n = len(waveform) // window_size
+        out = np.zeros((n,), np.float32)
+        with torch.no_grad():
+            for i in range(n):
+                chunk = torch.from_numpy(
+                    np.asarray(waveform[i * window_size:(i + 1) * window_size],
+                               np.float32))
+                out[i] = float(model(chunk, sample_rate).item())
+        return out
+
+    return probs_fn
+
+
 class VADSegmenter:
     def __init__(self, sample_rate: int = 16000, chunk_size_sec: float = 10.0,
                  pause_length: float = 0.5, window_size: int = 512,

@@ -70,50 +70,81 @@ def s2t_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
     feats = unity.decode_text(params, cfg, batch["prev_tokens"], enc,
                               self_lengths=batch["target_lens"])
     logits = unity.project(params, feats)
+    # prefix_skip_len=1: the lang token is forced, not predicted
+    # (reference trainer.py:178-181)
     return label_smoothed_nll_loss(logits, batch["target_tokens"],
                                    pad_idx=cfg.nllb.pad_idx,
-                                   label_smoothing=label_smoothing)
+                                   label_smoothing=label_smoothing,
+                                   ignore_prefix_size=1)
 
 
 def s2st_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
               label_smoothing: float = 0.2):
-    """SPEECH_TO_SPEECH mode: S2T NLL + T2U NLL (reference CalcLoss,
-    trainer.py:155-202). The AR T2U consumes teacher-forced text-decoder features;
-    batch additionally carries prev_units/target_units/unit_lens."""
-    import jax.numpy as jnp
+    """SPEECH_TO_SPEECH mode: S2T NLL + T2U loss (reference CalcLoss,
+    trainer.py:155-202).
 
+    - AR T2U (v1): teacher-forced unit NLL; batch carries
+      prev_units/target_units/unit_lens.
+    - NAR T2U (v2): unit NLL with ground-truth per-char durations (from the
+      UnitY2 aligner) + FastSpeech2 log-duration MSE; batch carries
+      char_ids (B,C), char_counts (B,L_text), target_durations (B,C),
+      target_units (B,U). The reference trainer raises NotImplementedError
+      here (trainer.py:131-134) — this path exceeds it.
+    """
     from seamless_communication_tpu.models.unity.t2u import (
-        ar_t2u_decoder_step, ar_t2u_encode,
-    )
-    from seamless_communication_tpu.ops.masks import (
-        causal_mask, lengths_to_padding_mask,
+        ar_t2u_encode, nar_t2u_train,
     )
     from seamless_communication_tpu.ops.transformer import (
         embedding_frontend, tied_projection, transformer_decoder,
     )
 
     s2t, n_text = s2t_loss(params, cfg, batch, label_smoothing=label_smoothing)
-    if cfg.ar_t2u is None:
-        return s2t, n_text
 
-    enc = unity.encode_speech(params, cfg, batch["fbank"], batch["fbank_lens"])
+    dtype = jax.tree.leaves(params)[0].dtype
+    enc = unity.encode_speech(params, cfg,
+                              jnp.asarray(batch["fbank"], dtype),
+                              batch["fbank_lens"])
     feats = unity.decode_text(params, cfg, batch["prev_tokens"], enc,
                               self_lengths=batch["target_lens"])
-    tcfg = cfg.ar_t2u
-    t2u_enc, t2u_mask = ar_t2u_encode(params["t2u"], tcfg, feats,
-                                      batch["target_lens"])
-    x = embedding_frontend(params["t2u"]["embed"], batch["prev_units"],
-                           tcfg.dec_cfg(),
-                           padding_mask=lengths_to_padding_mask(
-                               batch["unit_lens"], batch["prev_units"].shape[1]))
-    dec = transformer_decoder(params["t2u"]["decoder"], x, tcfg.dec_cfg(),
-                              enc_out=t2u_enc, enc_padding_mask=t2u_mask)
-    unit_logits = tied_projection(params["t2u"]["embed"], dec)
-    t2u, n_units = label_smoothed_nll_loss(unit_logits, batch["target_units"],
-                                           pad_idx=tcfg.pad_idx,
-                                           label_smoothing=label_smoothing)
-    # token-count-weighted sum so per-token normalization stays meaningful
-    return s2t + t2u, n_text + n_units
+
+    if cfg.ar_t2u is not None:
+        tcfg = cfg.ar_t2u
+        t2u_enc, t2u_mask = ar_t2u_encode(params["t2u"], tcfg, feats,
+                                          batch["target_lens"])
+        x = embedding_frontend(params["t2u"]["embed"], batch["prev_units"],
+                               tcfg.dec_cfg(),
+                               padding_mask=lengths_to_padding_mask(
+                                   batch["unit_lens"],
+                                   batch["prev_units"].shape[1]))
+        dec = transformer_decoder(params["t2u"]["decoder"], x, tcfg.dec_cfg(),
+                                  enc_out=t2u_enc, enc_padding_mask=t2u_mask)
+        unit_logits = tied_projection(params["t2u"]["embed"], dec)
+        t2u, n_units = label_smoothed_nll_loss(
+            unit_logits, batch["target_units"], pad_idx=tcfg.pad_idx,
+            label_smoothing=label_smoothing, ignore_prefix_size=1)
+        # token-count-weighted sum so per-token normalization stays meaningful
+        return s2t + t2u, n_text + n_units
+
+    if cfg.nar_t2u is not None:
+        tcfg = cfg.nar_t2u
+        out = nar_t2u_train(params["t2u"], tcfg, feats, batch["target_lens"],
+                            batch["char_ids"], batch["char_counts"],
+                            batch["target_durations"],
+                            max_unit_len=batch["target_units"].shape[1])
+        t2u, n_units = label_smoothed_nll_loss(
+            out.unit_logits, batch["target_units"], pad_idx=tcfg.pad_idx,
+            label_smoothing=label_smoothing)
+        # log-domain duration MSE (FastSpeech2); target = log1p(duration),
+        # matching durations_from_log's expm1 inverse
+        dur_tgt = jnp.log1p(batch["target_durations"].astype(jnp.float32))
+        cmask = out.char_mask.astype(jnp.float32)
+        dur_mse = jnp.sum(jnp.square(out.log_dur_pred.astype(jnp.float32)
+                                     - dur_tgt) * cmask)
+        n_chars = jnp.maximum(jnp.sum(cmask), 1.0)
+        # weight the per-char MSE as one loss token per char
+        return s2t + t2u + dur_mse, n_text + n_units + n_chars
+
+    return s2t, n_text
 
 
 def make_train_step(cfg: UnitYConfig, optimizer, *,
@@ -187,13 +218,10 @@ class UnitYFinetune:
         if mesh is not None:
             params = shard_params(params, mesh)
             pspecs = with_param_shardings(params, mesh)
-            dspec = data_sharding(mesh)
+            # prefix pytree: batch-shard EVERY leaf of whatever batch arrives
+            # (S2T or S2S keys alike) along its leading axis
             self.train_step = jax.jit(
-                step,
-                in_shardings=(pspecs, None, jax.tree.map(lambda _: dspec, {
-                    "fbank": 0, "fbank_lens": 0, "prev_tokens": 0,
-                    "target_tokens": 0, "target_lens": 0})),
-            )
+                step, in_shardings=(pspecs, None, data_sharding(mesh)))
         else:
             self.train_step = jax.jit(step)
         self.params = params

@@ -95,3 +95,76 @@ def test_sharded_train_step_matches_unsharded(setup):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def _s2s_nar_batch(seed=5):
+    rng = np.random.default_rng(seed)
+    B, L, C, U = 2, 8, 24, 48
+    char_counts = np.zeros((B, L), np.int32)
+    char_counts[:, :6] = rng.integers(1, 4, (B, 6))          # <= 18 chars
+    durs = np.zeros((B, C), np.int32)
+    n_chars = char_counts.sum(axis=1)
+    for b in range(B):
+        durs[b, :n_chars[b]] = rng.integers(1, 3, n_chars[b])
+    return {
+        "fbank": rng.standard_normal((B, 64, 80)).astype(np.float32),
+        "fbank_lens": np.array([64, 48], np.int32),
+        "prev_tokens": rng.integers(4, 250, (B, L)).astype(np.int32),
+        "target_tokens": rng.integers(4, 250, (B, L)).astype(np.int32),
+        "target_lens": np.array([L, 6], np.int32),
+        "char_ids": rng.integers(4, 60, (B, C)).astype(np.int32),
+        "char_counts": char_counts,
+        "target_durations": durs,
+        "target_units": rng.integers(4, 100, (B, U)).astype(np.int32),
+    }
+
+
+def _s2s_ar_batch(seed=6):
+    rng = np.random.default_rng(seed)
+    B, L, U = 2, 8, 16
+    return {
+        "fbank": rng.standard_normal((B, 64, 80)).astype(np.float32),
+        "fbank_lens": np.array([64, 48], np.int32),
+        "prev_tokens": rng.integers(4, 250, (B, L)).astype(np.int32),
+        "target_tokens": rng.integers(4, 250, (B, L)).astype(np.int32),
+        "target_lens": np.array([L, 6], np.int32),
+        "prev_units": rng.integers(4, 100, (B, U)).astype(np.int32),
+        "target_units": rng.integers(4, 100, (B, U)).astype(np.int32),
+        "unit_lens": np.array([U, 12], np.int32),
+    }
+
+
+@pytest.mark.parametrize("arch,batch_fn", [("tiny_v2", _s2s_nar_batch),
+                                           ("tiny_v1", _s2s_ar_batch)])
+def test_sharded_s2s_train_step(arch, batch_fn):
+    """SPEECH_TO_SPEECH batches (extra unit/duration keys) must run under the
+    dp x tp mesh — round-1 regression: in_shardings hard-coded the 5 S2T keys.
+    Covers the NAR duration-supervised path (exceeds the reference, which only
+    finetunes AR T2U) and the AR teacher-forced path."""
+    from seamless_communication_tpu.parallel.sharding import make_mesh
+    from seamless_communication_tpu.train.trainer import s2st_loss, s2t_loss
+
+    cfg = get_arch(arch)
+    params = unity.unity_init(jax.random.PRNGKey(1), cfg)
+    ft = FinetuneParams(finetune_mode=FinetuneMode.SPEECH_TO_SPEECH,
+                        learning_rate=1e-3, warmup_steps=2)
+    batch = batch_fn()
+
+    plain = UnitYFinetune(params, cfg, ft, train_data=[batch])
+    p1, _, m1 = plain.train_step(plain.params, plain.opt_state, batch)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=[batch])
+    p2, _, m2 = sharded.train_step(sharded.params, sharded.opt_state, batch)
+
+    # both loss terms participate: loss under S2S > plain S2T loss on same batch
+    s2t_only, n = jax.jit(lambda p, b: s2t_loss(p, cfg, b))(params, batch)
+    total, n_total = jax.jit(lambda p, b: s2st_loss(p, cfg, b))(params, batch)
+    assert float(n_total) > float(n)
+    assert float(total) > float(s2t_only)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    assert np.isfinite(float(m2["loss"]))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)

@@ -178,3 +178,57 @@ def test_params_npz_roundtrip(tmp_path):
     assert back["a"]["weight"].shape == (3, 2)
     assert isinstance(back["layers"], list) and len(back["layers"]) == 2
     np.testing.assert_array_equal(back["layers"][1]["w"], np.ones(4))
+
+
+def test_vad_probs_fn_speech_vs_noise():
+    """pdac must split on speech PROBABILITY, not raw energy: with a synthetic
+    probs_fn that marks loud noise as non-speech, the noisy span is excluded
+    even though it dominates the energy (reference silero_vad behavior)."""
+    from seamless_communication_tpu.segment.vad import VADSegmenter
+
+    sr, win = 16000, 512
+    rng = np.random.default_rng(0)
+    # 6s: [1s silence | 2s speech | 1s LOUD noise | 2s speech]
+    wav = np.concatenate([
+        np.zeros(sr, np.float32),
+        0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr).astype(np.float32),
+        3.0 * rng.standard_normal(sr).astype(np.float32),
+        0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr).astype(np.float32),
+    ])
+    speech_windows = (np.arange(len(wav) // win) * win // sr)
+
+    def probs_fn(w):
+        n = len(w) // win
+        t = np.arange(n) * win / sr
+        return np.where((t >= 1.0) & (t < 3.0) | (t >= 4.0), 0.9, 0.05
+                        ).astype(np.float32)
+
+    seg = VADSegmenter(sample_rate=sr, chunk_size_sec=2.5, probs_fn=probs_fn)
+    chunks = seg.segment_long_input(wav)
+    assert len(chunks) >= 2
+    for start, end in chunks:
+        # no chunk may live inside the loud-noise span (3s-4s)
+        assert not (start >= 3 * sr and end <= 4 * sr)
+    # the speech onsets are covered
+    assert any(s <= 1.1 * sr and e >= 1.5 * sr for s, e in chunks)
+    assert any(s <= 4.2 * sr and e >= 4.8 * sr for s, e in chunks)
+
+
+def test_whisper_normalizer_fallback():
+    from seamless_communication_tpu.cli.eval_utils import whisper_normalize_text
+
+    assert whisper_normalize_text("Hello, World!  [noise]", "eng") == "hello world"
+    # diacritics stripped, symbols dropped (basic normalizer path)
+    got = whisper_normalize_text("Héllo — wörld!", "deu")
+    assert got == "hello world"
+
+
+def test_asr_bleu_with_stub_transcriber():
+    from seamless_communication_tpu.cli.eval_utils import compute_asr_bleu
+
+    refs = ["the cat sat on the mat", "hello world"]
+    score = compute_asr_bleu([None, None], refs,
+                             transcribe=lambda wavs: ["The cat sat on the mat!",
+                                                      "Hello, world"],
+                             lang="eng")
+    assert score > 99.0   # normalization makes them exact matches

@@ -16,8 +16,9 @@ import torch
 import jax
 
 from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
-    load_pt_state_dict, monotonic_tree_from_fairseq2, unity_tree_from_fairseq2,
-    vocoder_tree_from_pt,
+    aligner_tree_from_pt, load_pt_state_dict, monotonic_tree_from_fairseq2,
+    pretssel_tree_from_pt, unity_tree_from_fairseq2, vocoder_tree_from_pt,
+    wav2vec2_raw_tree_from_pt,
 )
 from seamless_communication_tpu.models.monotonic.model import (
     MonotonicDecoderConfig, monotonic_decoder_init,
@@ -66,6 +67,73 @@ def _x_mha(sd, prefix, p):
         _x_lin(sd, f"{prefix}.{k}", p[k])
 
 
+def _x_convT(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _t(np.transpose(np.asarray(p["weight"]), (1, 2, 0)))
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _x_film(sd, prefix, p):
+    _x_lin(sd, f"{prefix}.proj", p["proj"])
+    sd[f"{prefix}.s_gamma"] = _t(p["s_gamma"])
+    sd[f"{prefix}.s_beta"] = _t(p["s_beta"])
+
+
+def _x_bn_identity(sd, prefix, p):
+    """Emit BatchNorm1d keys whose _bn_fold result equals the affine {scale,bias}
+    exactly: running_var = 1 - eps so sqrt(var + 1e-5) == 1."""
+    scale = np.asarray(p["scale"])
+    sd[f"{prefix}.weight"] = _t(scale)
+    sd[f"{prefix}.bias"] = _t(p["bias"])
+    sd[f"{prefix}.running_mean"] = _t(np.zeros_like(scale))
+    sd[f"{prefix}.running_var"] = _t(np.full_like(scale, 1.0 - 1e-5))
+
+
+def _x_wn(sd, prefix, p, *, transpose=False):
+    """weight-norm g/v split with g = ||v|| so the fold returns v exactly."""
+    w = np.asarray(p["weight"])
+    w = (np.transpose(w, (1, 2, 0)) if transpose      # (k,in,out)->(in,out,k)
+         else np.transpose(w, (2, 1, 0)))             # (k,in,out)->(out,in,k)
+    gnorm = np.sqrt((w ** 2).sum(axis=tuple(range(1, w.ndim)), keepdims=True))
+    sd[f"{prefix}.weight_g"] = _t(gnorm)
+    sd[f"{prefix}.weight_v"] = _t(w)
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _x_lstm(sd, prefix, layers):
+    for k, lp in enumerate(layers):
+        sd[f"{prefix}.weight_ih_l{k}"] = _t(np.asarray(lp["wx"]["weight"]).T)
+        sd[f"{prefix}.weight_hh_l{k}"] = _t(np.asarray(lp["wh"]["weight"]).T)
+        # converter folds bias_ih + bias_hh; split in exact halves to prove the sum
+        b = np.asarray(lp["wx"]["bias"])
+        sd[f"{prefix}.bias_ih_l{k}"] = _t(b * 0.5)
+        sd[f"{prefix}.bias_hh_l{k}"] = _t(b * 0.5)
+
+
+def export_ecapa(sd, prefix, tree):
+    def tdnn(p, t):
+        _x_conv(sd, f"{p}.conv", t["conv"])
+        _x_ln(sd, f"{p}.norm", t["norm"])
+
+    tdnn(f"{prefix}.blocks.0", tree["blocks"][0])
+    for i, b in enumerate(tree["blocks"][1:], start=1):
+        p = f"{prefix}.blocks.{i}"
+        tdnn(f"{p}.tdnn1", b["tdnn1"])
+        for j, rb in enumerate(b["res2net"]["blocks"]):
+            tdnn(f"{p}.res2net_block.blocks.{j}", rb)
+        tdnn(f"{p}.tdnn2", b["tdnn2"])
+        _x_conv(sd, f"{p}.se_block.conv1", b["se"]["conv1"])
+        _x_conv(sd, f"{p}.se_block.conv2", b["se"]["conv2"])
+        if "shortcut" in b:
+            _x_conv(sd, f"{p}.shortcut", b["shortcut"])
+    tdnn(f"{prefix}.mfa", tree["mfa"])
+    tdnn(f"{prefix}.asp.tdnn", tree["asp_tdnn"])
+    _x_conv(sd, f"{prefix}.asp.conv", tree["asp_conv"])
+    _x_ln(sd, f"{prefix}.asp_norm", tree["asp_norm"])
+    _x_conv(sd, f"{prefix}.fc", tree["fc"])
+
+
 def _unstack(stacked):
     n = jax.tree.leaves(stacked)[0].shape[0]
     return [jax.tree.map(lambda x: np.asarray(x)[i], stacked) for i in range(n)]
@@ -98,7 +166,7 @@ def _x_decoder(sd, prefix, embed_prefix, tree):
     _x_ln(sd, f"{prefix}.layer_norm", tree["stack"]["layer_norm"])
 
 
-def export_unity(params: dict) -> dict:
+def export_unity(params: dict, *, conv_batch_norm: bool = False) -> dict:
     sd: dict = {}
     se = params["speech_encoder"]
     _x_ln(sd, "speech_encoder_frontend.post_extract_layer_norm",
@@ -123,7 +191,10 @@ def export_unity(params: dict) -> dict:
         _x_ln(sd, f"{p}.conv_layer_norm", conv["layer_norm"])
         _x_pointwise(sd, f"{p}.conv.pointwise_conv1", conv["pointwise_conv1"])
         _x_conv(sd, f"{p}.conv.depthwise_conv", conv["depthwise_conv"])
-        _x_ln(sd, f"{p}.conv.layer_norm", conv["norm"])
+        if conv_batch_norm:
+            _x_bn_identity(sd, f"{p}.conv.batch_norm", conv["norm"])
+        else:
+            _x_ln(sd, f"{p}.conv.layer_norm", conv["norm"])
         _x_pointwise(sd, f"{p}.conv.pointwise_conv2", conv["pointwise_conv2"])
         _x_ln(sd, f"{p}.ffn2_layer_norm", lp["ffn2"]["layer_norm"])
         _x_lin(sd, f"{p}.ffn2.inner_proj", lp["ffn2"]["inner_proj"])
@@ -147,7 +218,19 @@ def export_unity(params: dict) -> dict:
     if "text_encoder" in params:
         _x_encoder(sd, "text_encoder", "text_encoder_frontend.embed",
                    params["text_encoder"])
-    if "t2u" in params:
+    if "prosody_encoder" in params:
+        export_ecapa(sd, "prosody_encoder_model", params["prosody_encoder"])
+    if "t2u" in params and "embed_char" not in params["t2u"]:
+        # AR T2U (v1): plain enc-dec over the unit vocab
+        t2u = params["t2u"]
+        _x_decoder(sd, "t2u_model.decoder", "t2u_model.decoder_frontend.embed",
+                   {"embed": t2u["embed"], "stack": t2u["decoder"]})
+        if "encoder" in t2u:
+            _x_encoder(sd, "t2u_model.encoder", "__tmp_embed",
+                       {"embed": {"embedding": np.zeros((1, 1), np.float32)},
+                        "stack": t2u["encoder"]})
+            del sd["__tmp_embed.weight"]
+    elif "t2u" in params:
         t2u = params["t2u"]
         _x_encoder(sd, "t2u_model.encoder", "t2u_model.decoder_frontend.embed",
                    {"embed": {"embedding": np.zeros((4, 4), np.float32)},
@@ -163,6 +246,10 @@ def export_unity(params: dict) -> dict:
         _x_conv(sd, f"{vp}.conv2.0", dp["conv2"])
         _x_ln(sd, f"{vp}.ln2", dp["ln2"])
         _x_lin(sd, f"{vp}.proj", dp["proj"])
+        if "film" in dp:
+            _x_film(sd, f"{vp}.film", dp["film"])
+        if "prosody_proj" in t2u:
+            _x_lin(sd, "t2u_model.prosody_proj", t2u["prosody_proj"])
         for i, lp in enumerate(_unstack(t2u["decoder_layers"])):
             p = f"t2u_model.decoder.layers.{i}"
             _x_mha(sd, f"{p}.self_attn", lp["self_attn"])
@@ -170,8 +257,139 @@ def export_unity(params: dict) -> dict:
             _x_conv(sd, f"{p}.conv1d.conv1", lp["conv1"])
             _x_conv(sd, f"{p}.conv1d.conv2", lp["conv2"])
             _x_ln(sd, f"{p}.conv1d_layer_norm", lp["conv_layer_norm"])
+            if "film" in lp:
+                _x_film(sd, f"{p}.film", lp["film"])
         _x_ln(sd, "t2u_model.decoder.layer_norm", t2u["layer_norm"])
         _x_lin(sd, "t2u_model.final_proj", t2u["final_proj"])
+    return sd
+
+
+def export_pretssel(params: dict, cfg) -> dict:
+    """Mirror the reference PretsselVocoder layer assembly INDEPENDENTLY of the
+    converter's index arithmetic (generator/vocoder.py:221-453): build the
+    stream_layers list in construction order, then interleave postnet / chunks /
+    conv_pre / ups / resblocks / conv_post exactly as __init__ does."""
+    sd: dict = {}
+    export_ecapa(sd, "encoder_frontend.prosody_encoder", params["prosody_encoder"])
+    _x_embed(sd, "encoder_frontend.embed_tokens", params["embed_tokens"])
+    _x_embed(sd, "encoder_frontend.embed_lang", params["embed_lang"])
+    sd["encoder_frontend.pos_emb_alpha"] = _t(params["pos_emb_alpha_enc"])
+    sd["decoder_frontend.pos_emb_alpha"] = _t(params["pos_emb_alpha_dec"])
+    for name, layers, norm in (
+            ("encoder", params["encoder_layers"], params["encoder_norm"]),
+            ("decoder", params["decoder_layers"], params["decoder_norm"])):
+        for i, lp in enumerate(layers):
+            p = f"{name}.layers.{i}"
+            _x_mha(sd, f"{p}.self_attn", lp["self_attn"])
+            _x_ln(sd, f"{p}.self_attn_layer_norm", lp["self_attn_layer_norm"])
+            _x_conv(sd, f"{p}.conv1d.conv1", lp["conv1"])
+            _x_conv(sd, f"{p}.conv1d.conv2", lp["conv2"])
+            _x_ln(sd, f"{p}.conv1d_layer_norm", lp["conv_layer_norm"])
+            _x_film(sd, f"{p}.film", lp["film"])
+        _x_ln(sd, f"{name}.layer_norm", norm)
+    vp = "decoder_frontend.variance_adaptor.duration_predictor"
+    dp = params["duration_predictor"]
+    _x_conv(sd, f"{vp}.conv1.0", dp["conv1"])
+    _x_ln(sd, f"{vp}.ln1", dp["ln1"])
+    _x_conv(sd, f"{vp}.conv2.0", dp["conv2"])
+    _x_ln(sd, f"{vp}.ln2", dp["ln2"])
+    _x_lin(sd, f"{vp}.proj", dp["proj"])
+    _x_film(sd, f"{vp}.film", dp["film"])
+    _x_lin(sd, "final_proj", params["final_proj"])
+    sd["mean"] = _t(params["mean"])
+    sd["scale"] = _t(params["scale"])
+
+    # stream_layers in reference construction order (vocoder.py:221-357)
+    sea = params["seanet"]
+    stream: list = [("conv", sea["enc_in"])]
+    for blk in sea["enc_blocks"]:
+        stream += [("res", blk["res"]), ("elu", None), ("conv", blk["down"])]
+    stream += [("lstm", sea["enc_lstm"]), ("elu", None), ("conv", sea["enc_out"]),
+               ("conv", sea["dec_in"]), ("lstm", sea["dec_lstm"])]
+    for blk in sea["dec_blocks"]:
+        stream += [("elu", None), ("convtr", blk["up"]), ("res", blk["res"])]
+    stream += [("elu", None), ("conv", sea["dec_out"])]
+    chunk = len(stream) // 4
+
+    hifi = params["hifigan"]
+    flat: list = [("postnet", p) for p in params["postnet"]]
+    flat += stream[:chunk]
+    flat += [("wnconv", hifi["conv_pre"])]
+    flat += stream[chunk:2 * chunk]
+    flat += [("wnconvtr", up) for up in hifi["upsampler"]]
+    flat += stream[2 * chunk:3 * chunk]
+    flat += [("hifires", rb) for rb in hifi["resblocks"]]
+    flat += stream[3 * chunk:]
+    flat += [("wnconv", hifi["conv_post"])]
+
+    for idx, (kind, tree) in enumerate(flat):
+        p = f"layers.{idx}"
+        if kind == "postnet":
+            _x_conv(sd, f"{p}.0", tree["conv"])
+            _x_bn_identity(sd, f"{p}.1", tree["norm"])
+        elif kind == "conv":
+            _x_conv(sd, f"{p}.conv.conv", tree)
+        elif kind == "convtr":
+            _x_convT(sd, f"{p}.convtr.convtr", tree)
+        elif kind == "res":
+            _x_conv(sd, f"{p}.block.1.conv.conv", tree["conv1"])
+            _x_conv(sd, f"{p}.block.3.conv.conv", tree["conv2"])
+        elif kind == "lstm":
+            _x_lstm(sd, f"{p}.lstm", tree)
+        elif kind == "wnconv":
+            _x_wn(sd, p, tree)
+        elif kind == "wnconvtr":
+            _x_wn(sd, p, tree, transpose=True)
+        elif kind == "hifires":
+            for j, c in enumerate(tree["convs1"]):
+                _x_wn(sd, f"{p}.convs1.{j}", c)
+            for j, c in enumerate(tree["convs2"]):
+                _x_wn(sd, f"{p}.convs2.{j}", c)
+    return sd
+
+
+def export_aligner(params: dict) -> dict:
+    """Raw aligner checkpoint layout (reference aligner/loader.py:22-58):
+    sub-dicts + Sequential conv slots at 1+3i."""
+    aligner_state: dict = {}
+    for name in ("t_conv", "f_conv"):
+        for i, cp in enumerate(params[name]):
+            prefix = f"{name}.{1 + 3 * i}"
+            aligner_state[f"{prefix}.weight"] = _t(
+                np.transpose(np.asarray(cp["weight"]), (2, 1, 0)))
+            aligner_state[f"{prefix}.bias"] = _t(cp["bias"])
+    return {
+        "aligner_state": aligner_state,
+        "text_emb_state": {"weight": _t(params["embed_text"]["embedding"])},
+        "unit_emb_state": {"weight": _t(params["embed_unit"]["embedding"])},
+    }
+
+
+def export_w2v2_raw(params: dict) -> dict:
+    """fairseq1-style wav2vec2 keys (the form fairseq2's loader remaps)."""
+    sd: dict = {}
+    for i, cp in enumerate(params["feature_extractor"]):
+        _x_conv(sd, f"feature_extractor.conv_layers.{i}.0", cp["conv"])
+        _x_ln(sd, f"feature_extractor.conv_layers.{i}.2.1", cp["norm"])
+    _x_ln(sd, "layer_norm", params["post_extract_norm"])
+    _x_lin(sd, "post_extract_proj", params["post_extract_proj"])
+    # pos_conv is weight-normed with dim=2 (g over the kernel axis)
+    pc = params["pos_conv"]
+    w = np.transpose(np.asarray(pc["weight"]), (2, 1, 0))   # (out, in/g, k)
+    gnorm = np.sqrt((w ** 2).sum(axis=(0, 1), keepdims=True))
+    sd["encoder.pos_conv.0.weight_g"] = _t(gnorm)
+    sd["encoder.pos_conv.0.weight_v"] = _t(w)
+    sd["encoder.pos_conv.0.bias"] = _t(pc["bias"])
+    for i, lp in enumerate(_unstack(params["layers"])):
+        p = f"encoder.layers.{i}"
+        _x_ln(sd, f"{p}.self_attn_layer_norm", lp["self_attn_layer_norm"])
+        for k in ("q_proj", "k_proj", "v_proj"):
+            _x_lin(sd, f"{p}.self_attn.{k}", lp["self_attn"][k])
+        _x_lin(sd, f"{p}.self_attn.out_proj", lp["self_attn"]["output_proj"])
+        _x_lin(sd, f"{p}.fc1", lp["ffn"]["inner_proj"])
+        _x_lin(sd, f"{p}.fc2", lp["ffn"]["output_proj"])
+        _x_ln(sd, f"{p}.final_layer_norm", lp["ffn"]["layer_norm"])
+    _x_ln(sd, "encoder.layer_norm", params["encoder_norm"])
     return sd
 
 
@@ -260,6 +478,100 @@ def test_unity_pt_roundtrip(tmp_path):
     torch.save({"model": export_unity(params)}, path)
     got = unity_tree_from_fairseq2(load_pt_state_dict(str(path)))
     _assert_trees_equal(params, got)
+
+
+def test_expressive_unity_pt_roundtrip(tmp_path):
+    """FiLM (decoder layers + duration predictor), prosody_proj, and the
+    model's own ECAPA must all land in the converted tree (round-1 regression:
+    FiLM was injected after stacking and silently dropped)."""
+    params = unity.unity_init(jax.random.PRNGKey(3), get_arch("tiny_expressive"))
+    path = tmp_path / "unity_exp.pt"
+    torch.save({"model": export_unity(params)}, path)
+    got = unity_tree_from_fairseq2(load_pt_state_dict(str(path)))
+    assert "film" in got["t2u"]["decoder_layers"]
+    assert "film" in got["t2u"]["duration_predictor"]
+    assert "prosody_proj" in got["t2u"]
+    assert "prosody_encoder" in got
+    _assert_trees_equal(params, got)
+
+
+def test_ar_t2u_unity_pt_roundtrip(tmp_path):
+    """v1: XL-attention conformer (batch-norm conv module) + AR T2U enc-dec."""
+    params = unity.unity_init(jax.random.PRNGKey(4), get_arch("tiny_v1"))
+    path = tmp_path / "unity_v1.pt"
+    torch.save({"model": export_unity(params, conv_batch_norm=True)}, path)
+    got = unity_tree_from_fairseq2(load_pt_state_dict(str(path)))
+    assert "decoder" in got["t2u"] and "encoder" in got["t2u"]
+    _assert_trees_equal(params, got)
+
+
+def test_pretssel_pt_roundtrip(tmp_path):
+    from seamless_communication_tpu.models.pretssel.ecapa_tdnn import EcapaConfig
+    from seamless_communication_tpu.models.pretssel.streamable import SeanetConfig
+    from seamless_communication_tpu.models.pretssel.vocoder import (
+        PretsselConfig, pretssel_init,
+    )
+    cfg = PretsselConfig(
+        num_units=48, model_dim=16, num_heads=2, ffn_inner_dim=32,
+        conv_kernel_size=3, num_encoder_layers=2, num_decoder_layers=2,
+        num_langs=4, lang_embed_dim=8, prosody_dim=24, mel_dim=8,
+        pn_conv_dim=12, pn_layers=3, pn_kernel_size=5,
+        dur_predictor_hidden=8,
+        hifigan=HifiGanConfig(model_in_dim=8, upsample_rates=(5, 2),
+                              upsample_kernel_sizes=(10, 4),
+                              upsample_initial_channel=16,
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),),
+                              add_ups_out_pad=True, final_tanh=False),
+        seanet=SeanetConfig(n_filters=4, dimension=8, ratios=(4, 2), lstm=2),
+        ecapa=EcapaConfig(channels=(16, 16, 16, 16, 48), attention_channels=8,
+                          res2net_scale=4, se_channels=8, embed_dim=24,
+                          input_dim=80))
+    params = pretssel_init(jax.random.PRNGKey(5), cfg)
+    path = tmp_path / "pretssel.pt"
+    torch.save({"model": export_pretssel(params, cfg)}, path)
+    got = pretssel_tree_from_pt(load_pt_state_dict(str(path)), cfg)
+    _assert_trees_equal(params, got, atol=1e-6)
+
+
+def test_aligner_pt_roundtrip(tmp_path):
+    from seamless_communication_tpu.models.aligner.model import (
+        AlignerConfig, aligner_init,
+    )
+    cfg = AlignerConfig(embed_dim=16, feat_dim=24, text_vocab_size=32,
+                        unit_vocab_size=40, text_layers=2, feat_layers=3)
+    params = aligner_init(jax.random.PRNGKey(6), cfg)
+    path = tmp_path / "aligner.pt"
+    torch.save(export_aligner(params), path)
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    ckpt = {k: ({kk: vv.numpy() for kk, vv in v.items()} if isinstance(v, dict)
+                else v) for k, v in ckpt.items()}
+    got = aligner_tree_from_pt(ckpt)
+    _assert_trees_equal(params, got)
+    # char reorder: pieces c,a,b at rows 4,5,6 -> row 4 takes dict row of "c"
+    pieces = ["<unk>", "<s>", "</s>", "<pad>"] + ["c", "a", "b"] \
+        + [chr(ord("d") + i) for i in range(cfg.text_vocab_size - 7)]
+    got2 = aligner_tree_from_pt(ckpt, char_spm_pieces=pieces)
+    te = np.asarray(params["embed_text"]["embedding"])
+    np.testing.assert_array_equal(got2["embed_text"]["embedding"][4], te[6])
+    np.testing.assert_array_equal(got2["embed_text"]["embedding"][5], te[4])
+    np.testing.assert_array_equal(got2["embed_text"]["embedding"][6], te[5])
+
+
+def test_wav2vec2_raw_pt_roundtrip(tmp_path):
+    from seamless_communication_tpu.models.unit_extractor.wav2vec2_raw import (
+        Wav2Vec2RawConfig, wav2vec2_raw_init,
+    )
+    cfg = Wav2Vec2RawConfig(model_dim=32, feature_dim=16,
+                            conv_layers=((16, 3, 2), (16, 2, 2)),
+                            pos_conv_kernel=8, pos_conv_groups=4,
+                            num_layers=2, num_heads=4, ffn_inner_dim=64)
+    params = wav2vec2_raw_init(jax.random.PRNGKey(7), cfg)
+    path = tmp_path / "xlsr.pt"
+    torch.save({"model": export_w2v2_raw(params)}, path)
+    got = wav2vec2_raw_tree_from_pt(load_pt_state_dict(str(path)))
+    # pos_conv weight-norm fold: exact up to one rounding step
+    _assert_trees_equal(params, got, atol=1e-6)
 
 
 def test_monotonic_pt_roundtrip(tmp_path):

@@ -301,3 +301,78 @@ def test_hifigan_parity():
     got = hifigan_forward(params, t2j(x.transpose(1, 2)), cfg)
     assert got.shape == tuple(ref.shape)
     assert_close(got, ref.numpy(), atol=2e-4, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# PRETSSEL component oracles (no fairseq2 in env; the pieces the reference
+# composes from torch.nn primitives are verified against torch directly)
+# ---------------------------------------------------------------------------
+
+def test_conv_transpose_output_padding_parity():
+    """PRETSSEL upsampler: ConvTranspose1d(k=2u, stride=u, padding=(k-u)//2+u%2,
+    output_padding=u%2) (reference generator/vocoder.py:407-421)."""
+    from seamless_communication_tpu.ops.modules import conv_transpose1d
+    for u in (5, 2):
+        k = 2 * u
+        op = u % 2
+        pad = (k - u) // 2 + op
+        m = torch.nn.ConvTranspose1d(6, 4, k, u, padding=pad, output_padding=op)
+        x = torch.randn(2, 6, 13)
+        with torch.no_grad():
+            ref = m(x)
+        p = {"weight": t2j(m.weight.permute(2, 0, 1)),   # (in,out,k)->(k,in,out)
+             "bias": t2j(m.bias)}
+        got = conv_transpose1d(p, t2j(x.permute(0, 2, 1)), stride=u,
+                               padding=pad, output_padding=op)
+        assert got.shape[1] == ref.shape[2] == 13 * u
+        assert_close(got, ref.permute(0, 2, 1).numpy(), atol=1e-5)
+
+
+def test_streamable_lstm_parity():
+    """StreamableLSTM: torch 2-layer LSTM + skip (reference streamable.py:350-373),
+    with the two torch biases folded into one at conversion."""
+    from seamless_communication_tpu.models.pretssel.streamable import lstm_forward
+    dim, layers = 8, 2
+    m = torch.nn.LSTM(dim, dim, layers)
+    x = torch.randn(5, 2, dim)      # (T, B, C)
+    with torch.no_grad():
+        y, _ = m(x)
+        ref = (y + x).permute(1, 0, 2)
+    tree = []
+    for k in range(layers):
+        tree.append({
+            "wx": {"weight": t2j(getattr(m, f"weight_ih_l{k}").T),
+                   "bias": t2j(getattr(m, f"bias_ih_l{k}")
+                               + getattr(m, f"bias_hh_l{k}"))},
+            "wh": {"weight": t2j(getattr(m, f"weight_hh_l{k}").T)},
+        })
+    got = lstm_forward(tree, t2j(x.permute(1, 0, 2)))
+    assert_close(got, ref.numpy(), atol=1e-5)
+
+
+def test_postnet_batchnorm_fold_parity():
+    """PostNet layer = Conv1d + BatchNorm1d(eval) + Tanh (reference
+    generator/vocoder.py:365-385); inference BN folds to a per-channel affine."""
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        _bn_fold, _conv_w,
+    )
+    from seamless_communication_tpu.ops.modules import conv1d
+    conv = torch.nn.Conv1d(8, 12, 5, padding="same")
+    bn = torch.nn.BatchNorm1d(12).eval()
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.randn(12) * 0.3)
+        bn.running_var.copy_(torch.rand(12) + 0.5)
+        bn.weight.copy_(torch.randn(12))
+        bn.bias.copy_(torch.randn(12))
+        x = torch.randn(2, 8, 17)
+        ref = torch.tanh(bn(conv(x))).permute(0, 2, 1)
+    sd = {"bn.weight": bn.weight.detach().numpy(),
+          "bn.bias": bn.bias.detach().numpy(),
+          "bn.running_mean": bn.running_mean.numpy(),
+          "bn.running_var": bn.running_var.numpy()}
+    aff = _bn_fold(sd, "bn")
+    p = {"weight": _conv_w(conv.weight.detach().numpy()),
+         "bias": conv.bias.detach().numpy()}
+    h = conv1d(p, t2j(x.permute(0, 2, 1)), padding="SAME")
+    got = jnp.tanh(h * aff["scale"] + aff["bias"])
+    assert_close(got, ref.numpy(), atol=1e-5)
