@@ -223,6 +223,32 @@ def convert_nar_t2u(t2u_model, lm_head) -> dict:
     }
 
 
+def convert_ar_t2u(t2u_model, lm_head=None) -> dict:
+    """v1 SeamlessM4TTextToUnitModel: standard enc-dec over the unit vocab with
+    the lm_head tied to the decoder embedding (reference models/unity/model.py
+    :263-327). ``lm_head`` is accepted for API symmetry; the tie makes it
+    redundant."""
+    enc = t2u_model.encoder
+    enc_layers = [{
+        "self_attn_layer_norm": _ln(lyr.self_attn_layer_norm),
+        "self_attn": _mha(lyr.self_attn),
+        "ffn": _text_ffn(lyr),
+    } for lyr in enc.layers]
+    dec = t2u_model.decoder
+    dec_layers = [{
+        "self_attn_layer_norm": _ln(lyr.self_attn_layer_norm),
+        "self_attn": _mha(lyr.self_attn),
+        "cross_attn_layer_norm": _ln(lyr.cross_attention_layer_norm),
+        "cross_attn": _mha(lyr.cross_attention),
+        "ffn": _text_ffn(lyr),
+    } for lyr in dec.layers]
+    return {
+        "encoder": {"layers": _stack(enc_layers), "layer_norm": _ln(enc.layer_norm)},
+        "embed": _embed(dec.embed_tokens),
+        "decoder": {"layers": _stack(dec_layers), "layer_norm": _ln(dec.layer_norm)},
+    }
+
+
 # ---------------------------------------------------------------------------
 # vocoder
 # ---------------------------------------------------------------------------
@@ -266,6 +292,21 @@ def convert_hf_seamless_m4t_v2(model) -> Dict[str, Any]:
         params["text_encoder"] = convert_text_encoder(model.text_encoder)
     if getattr(model, "t2u_model", None) is not None:
         params["t2u"] = convert_nar_t2u(model.t2u_model.model, model.t2u_model.lm_head)
+    return params
+
+
+def convert_hf_seamless_m4t_v1(model) -> Dict[str, Any]:
+    """SeamlessM4TModel (v1: XL-rel-pos conformer with batch-norm conv module,
+    AR T2U) -> UnitY param pytree; HF transformers is the numerics oracle for
+    the reference's seamlessM4T_{medium,large} checkpoints."""
+    params = {
+        "speech_encoder": convert_speech_encoder(model.speech_encoder, v2=False),
+        "text_decoder": convert_text_decoder(model.text_decoder),
+    }
+    if getattr(model, "text_encoder", None) is not None:
+        params["text_encoder"] = convert_text_encoder(model.text_encoder)
+    if getattr(model, "t2u_model", None) is not None:
+        params["t2u"] = convert_ar_t2u(model.t2u_model.model)
     return params
 
 
