@@ -77,7 +77,8 @@ def main() -> None:
         step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
         opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN, min_len=TEXT_MAX_LEN - 8,
                                  pad_idx=0, unk_idx=1, eos_idx=3)
-        res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, True), prefix,
+        kv_int8 = not os.environ.get("BENCH_KV_BF16")
+        res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8), prefix,
                           jnp.array([2], jnp.int32), opts, V,
                           cache_reorder=decoder_cache_beam_reorder)
         tokens = res.tokens[:, 0]

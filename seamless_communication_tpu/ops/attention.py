@@ -177,6 +177,80 @@ def self_attention_step_int8(params: dict, x_t: jax.Array, cache: Int8KVCache,
     return y, Int8KVCache(k, v, k_scale, v_scale)
 
 
+def self_attention_step_nocache(params: dict, x_t: jax.Array, k_cache: jax.Array,
+                                v_cache: jax.Array, step: jax.Array,
+                                num_heads: int):
+    """Causal decode attention that does NOT write the KV cache: reads history
+    from ``k_cache``/``v_cache`` (positions < step) and handles the current
+    token's K/V exactly, returning them for the caller to store with ONE
+    dynamic-update-slice on the full stacked cache.
+
+    Threading the full per-layer cache through ``lax.scan`` outputs copies the
+    whole cache every step (measured ~2.3 ms/step on the v5e S2ST bench, the
+    single largest decode cost); this variant's scan outputs are (B,H,1,Dh).
+    Returns (y, k_t, v_t)."""
+    dtype = x_t.dtype
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)       # (B,H,1,Dh)
+    k_t = _split_heads(linear(params["k_proj"], x_t), num_heads)
+    v_t = _split_heads(linear(params["v_proj"], x_t), num_heads)
+    dh = q.shape[-1]
+    t_max = k_cache.shape[2]
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache.astype(dtype),
+                        preferred_element_type=jnp.float32) / math.sqrt(dh)
+    logit_cur = jnp.einsum("bhqd,bhqd->bhq", q, k_t,
+                           preferred_element_type=jnp.float32) / math.sqrt(dh)
+    valid = jnp.arange(t_max)[None, None, None, :] < step
+    is_cur = jnp.arange(t_max)[None, None, None, :] == step
+    logits = jnp.where(valid, logits,
+                       jnp.where(is_cur, logit_cur[..., None], -1e9))
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_hist = jnp.where(is_cur, 0.0, probs)
+    p_cur = jnp.sum(jnp.where(is_cur, probs, 0.0), axis=-1)          # (B,H,1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p_hist.astype(dtype),
+                     v_cache.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = (out + p_cur[..., None] * v_t.astype(jnp.float32)).astype(dtype)
+    y = linear(params["output_proj"], _merge_heads(out))
+    return y, k_t, v_t
+
+
+def self_attention_step_nocache_int8(params: dict, x_t: jax.Array,
+                                     k_cache: jax.Array, v_cache: jax.Array,
+                                     k_scale: jax.Array, v_scale: jax.Array,
+                                     step: jax.Array, num_heads: int):
+    """int8-KV variant of :func:`self_attention_step_nocache`. Returns
+    (y, kq, ks, vq, vs) — the caller stores the quantized current row."""
+    dtype = x_t.dtype
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)       # (B,H,1,Dh)
+    k_t = _split_heads(linear(params["k_proj"], x_t), num_heads)
+    v_t = _split_heads(linear(params["v_proj"], x_t), num_heads)
+    kq, ks = quantize_kv_rows(k_t)
+    vq, vs = quantize_kv_rows(v_t)
+    dh = q.shape[-1]
+    t_max = k_cache.shape[2]
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * k_scale[:, :, None, :] / math.sqrt(dh)
+    logit_cur = jnp.einsum("bhqd,bhqd->bhq", q, k_t,
+                           preferred_element_type=jnp.float32) / math.sqrt(dh)
+    valid = jnp.arange(t_max)[None, None, None, :] < step
+    is_cur = jnp.arange(t_max)[None, None, None, :] == step
+    logits = jnp.where(valid, logits,
+                       jnp.where(is_cur, logit_cur[..., None], -1e9))
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_hist = jnp.where(is_cur, 0.0, probs)
+    p_cur = jnp.sum(jnp.where(is_cur, probs, 0.0), axis=-1)          # (B,H,1)
+    out = jnp.einsum("bhqk,bhkd->bhqd",
+                     (p_hist * v_scale[:, :, None, :]).astype(dtype),
+                     v_cache.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = (out + p_cur[..., None] * v_t.astype(jnp.float32)).astype(dtype)
+    y = linear(params["output_proj"], _merge_heads(out))
+    return y, kq, ks, vq, vs
+
+
 def cross_attention_precompute_int8(params: dict, enc_out: jax.Array,
                                     num_heads: int) -> Int8KVCache:
     kv = cross_attention_precompute(params, enc_out, num_heads)

@@ -22,6 +22,7 @@ gathered on beam reorder.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Sequence
 
 import jax
@@ -121,50 +122,73 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
         for proc in processors:
             lprobs = proc(s.tokens, step, lprobs)
 
-        # unk penalty & min-length EOS suppression & hard-max EOS forcing
+        # unk penalty & min-length EOS suppression (cheap single-column edits)
         lprobs = lprobs.at[:, :, opts.unk_idx].add(-opts.unk_penalty)
         gen_count = gen_pos - prefix_len[:, None]                       # tokens generated
         eos_banned = gen_count < opts.min_len
         lprobs = lprobs.at[:, :, opts.eos_idx].set(
             jnp.where(eos_banned, NEG_INF, lprobs[:, :, opts.eos_idx]))
         force_eos = gen_pos >= (T - 1)
-        if_force = jnp.full((B, K, vocab_size), NEG_INF).at[:, :, opts.eos_idx].set(0.0)
-        lprobs = jnp.where(force_eos, if_force, lprobs)
 
-        # prefix forcing: lprob 0 for the forced token, NEG_INF elsewhere
-        nxt = jax.lax.dynamic_slice_in_dim(
-            prefix, jnp.clip(gen_pos, 0, P - 1), 1, axis=1)             # (B, 1)
-        forced = jnp.where(
-            jnp.arange(vocab_size)[None, None, :] == nxt[:, :, None], 0.0, NEG_INF)
-        forced = jnp.broadcast_to(forced, (B, K, vocab_size))
-        lprobs = jnp.where(in_prefix[:, :, None], forced, lprobs)
+        # hard-max EOS forcing & prefix forcing build full-(B,K,V) selects —
+        # only active in the first P and last steps, so gate them behind a
+        # lax.cond (profiled at ~0.4 ms/step of VPU selects otherwise)
+        def _forced_lprobs(lp):
+            if_force = jnp.full((B, K, vocab_size), NEG_INF
+                                ).at[:, :, opts.eos_idx].set(0.0)
+            lp = jnp.where(force_eos, if_force, lp)
+            nxt = jax.lax.dynamic_slice_in_dim(
+                prefix, jnp.clip(gen_pos, 0, P - 1), 1, axis=1)         # (B, 1)
+            forced = jnp.where(
+                jnp.arange(vocab_size)[None, None, :] == nxt[:, :, None],
+                0.0, NEG_INF)
+            forced = jnp.broadcast_to(forced, (B, K, vocab_size))
+            return jnp.where(in_prefix[:, :, None], forced, lp)
+
+        lprobs = jax.lax.cond(jnp.any(in_prefix) | force_eos,
+                              _forced_lprobs, lambda lp: lp, lprobs)
 
         # dead beams must not spawn candidates (their only candidate: pad, NEG_INF)
         cand = s.scores[:, :, None] + lprobs                            # (B,K,V)
         flat = cand.reshape(B, K * vocab_size)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)                # (B,2K)
+        if os.environ.get("SEAMLESS_APPROX_TOPK"):
+            # TPU-optimized partial reduction (jax.lax.approx_max_k); exact
+            # for k=2K with recall_target=1.0 per its TPU lowering contract
+            top_scores, top_idx = jax.lax.approx_max_k(
+                flat, 2 * K, recall_target=0.99, aggregate_to_topk=True)
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)            # (B,2K)
         src_beam = top_idx // vocab_size
         tok = (top_idx % vocab_size).astype(jnp.int32)
         is_eos = (tok == opts.eos_idx) & ~jnp.broadcast_to(in_prefix, (B, 2 * K))
 
         # ----- finalize EOS candidates into the fin_* set -----
+        # no-op on steps with no EOS candidate (most of them, min_len blocks
+        # EOS early) — gate the takes/concats/top_k behind a lax.cond
         hyp_len = gen_pos + 1                                           # incl. EOS
-        norm_eos = jnp.where(is_eos, normalize(top_scores, jnp.full_like(top_scores, 0)
-                                               * 0 + hyp_len.astype(jnp.float32)), NEG_INF)
-        # candidate token rows for finalization: parent tokens + EOS at position
-        parent_tokens = jnp.take_along_axis(
-            s.tokens, src_beam[:, :, None], axis=1)                     # (B,2K,T)
-        eos_tokens = jax.vmap(
-            lambda tb: jax.lax.dynamic_update_slice_in_dim(
-                tb, jnp.full((2 * K, 1), opts.eos_idx, jnp.int32), gen_pos, axis=1),
-            in_axes=0)(parent_tokens)
-        all_fin_scores = jnp.concatenate([s.fin_scores, norm_eos], axis=1)   # (B, K+2K)
-        all_fin_tokens = jnp.concatenate([s.fin_tokens, eos_tokens], axis=1)
-        all_fin_lengths = jnp.concatenate(
-            [s.fin_lengths, jnp.broadcast_to(hyp_len[None, None], (B, 2 * K))], axis=1)
-        fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, K)
-        fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_sel[:, :, None], axis=1)
-        fin_lengths = jnp.take_along_axis(all_fin_lengths, fin_sel, axis=1)
+        pos_is_gen = jnp.arange(T)[None, None, :] == gen_pos            # (1,1,T)
+
+        def _finalize(_):
+            norm_eos = jnp.where(
+                is_eos, normalize(top_scores, jnp.broadcast_to(
+                    hyp_len.astype(jnp.float32), top_scores.shape)), NEG_INF)
+            # candidate token rows: parent tokens + EOS spliced at gen_pos
+            parent_tokens = jnp.take_along_axis(
+                s.tokens, src_beam[:, :, None], axis=1)                 # (B,2K,T)
+            eos_tokens = jnp.where(pos_is_gen, opts.eos_idx, parent_tokens)
+            all_fin_scores = jnp.concatenate([s.fin_scores, norm_eos], axis=1)
+            all_fin_tokens = jnp.concatenate([s.fin_tokens, eos_tokens], axis=1)
+            all_fin_lengths = jnp.concatenate(
+                [s.fin_lengths,
+                 jnp.broadcast_to(hyp_len[None, None], (B, 2 * K))], axis=1)
+            f_scores, f_sel = jax.lax.top_k(all_fin_scores, K)
+            return (jnp.take_along_axis(all_fin_tokens, f_sel[:, :, None], axis=1),
+                    f_scores,
+                    jnp.take_along_axis(all_fin_lengths, f_sel, axis=1))
+
+        fin_tokens, fin_scores, fin_lengths = jax.lax.cond(
+            jnp.any(is_eos), _finalize,
+            lambda _: (s.fin_tokens, s.fin_scores, s.fin_lengths), None)
 
         # ----- pick K continuing beams (non-EOS) -----
         cont_scores_cand = jnp.where(is_eos, NEG_INF, top_scores)
@@ -172,9 +196,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
         new_beam_src = jnp.take_along_axis(src_beam, cont_sel, axis=1)
         new_tok = jnp.take_along_axis(tok, cont_sel, axis=1)
         new_tokens = jnp.take_along_axis(s.tokens, new_beam_src[:, :, None], axis=1)
-        new_tokens = jax.vmap(
-            lambda tb, tt: jax.lax.dynamic_update_slice_in_dim(
-                tb, tt[:, None], gen_pos, axis=1))(new_tokens, new_tok)
+        new_tokens = jnp.where(pos_is_gen, new_tok[:, :, None], new_tokens)
 
         # reorder cache by beam origin on the flattened B*K axis
         flat_src = (jnp.arange(B)[:, None] * K + new_beam_src).reshape(B * K)

@@ -220,21 +220,28 @@ def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Arra
     cross_bias = padding_bias(enc_padding_mask)
     int8 = isinstance(cache, DecoderCacheQ8)
 
+    # The per-layer scan only READS the cache (xs) and emits the current
+    # position's tiny (B,H,1,Dh) K/V rows (ys); the full cache is updated with
+    # ONE dynamic-update-slice afterwards. Threading the whole cache through
+    # scan outputs copied it every step — measured ~2.3 ms/step of pure KV
+    # copies on the v5e S2ST bench (copy_bitcast/copy_dus fusions), the single
+    # largest decode cost.
     def body(h, scanned):
         if int8:
             layer_p, sk, sv, sks, svs, ck, cv, cks, cvs = scanned
-            self_kv = attn_ops.Int8KVCache(sk, sv, sks, svs)
             cross_kv = attn_ops.Int8KVCache(ck, cv, cks, cvs)
         else:
             layer_p, sk, sv, ck, cv = scanned
-            self_kv, cross_kv = KVCache(sk, sv), KVCache(ck, cv)
+            cross_kv = KVCache(ck, cv)
         z = layer_norm(layer_p["self_attn_layer_norm"], h)
         if int8:
-            y, new_kv = attn_ops.self_attention_step_int8(
-                layer_p["self_attn"], z, self_kv, step, cfg.num_heads)
+            y, kq, ks, vq, vs = attn_ops.self_attention_step_nocache_int8(
+                layer_p["self_attn"], z, sk, sv, sks, svs, step, cfg.num_heads)
+            new_rows = (kq, ks, vq, vs)
         else:
-            y, new_kv = attn_ops.self_attention_step(
-                layer_p["self_attn"], z, self_kv, step, cfg.num_heads)
+            y, k_t, v_t = attn_ops.self_attention_step_nocache(
+                layer_p["self_attn"], z, sk, sv, step, cfg.num_heads)
+            new_rows = (k_t.astype(sk.dtype), v_t.astype(sv.dtype))
         h = h + y
         z = layer_norm(layer_p["cross_attn_layer_norm"], h)
         if int8:
@@ -248,27 +255,38 @@ def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Arra
         z = layer_norm(layer_p["ffn"]["layer_norm"], h)
         z = _act(cfg.activation)(linear(layer_p["ffn"]["inner_proj"], z))
         h = h + linear(layer_p["ffn"]["output_proj"], z)
-        return h, tuple(new_kv)
+        return h, new_rows
 
     # unrolling the per-layer scan lets XLA software-pipeline the next layer's
     # weight loads behind the current layer's compute (decode is HBM-bound)
     unroll = int(os.environ.get("SEAMLESS_DECODE_UNROLL", "1"))
     if int8:
-        out, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        out, (new_k, new_ks, new_v, new_vs) = jax.lax.scan(
             body, x_t,
             (params["layers"], cache.self_k, cache.self_v, cache.self_k_scale,
              cache.self_v_scale, cache.cross_k, cache.cross_v,
              cache.cross_k_scale, cache.cross_v_scale), unroll=unroll)
         out = layer_norm(params["layer_norm"], out)
-        return out, DecoderCacheQ8(new_k, new_v, new_ks, new_vs, cache.cross_k,
-                                   cache.cross_v, cache.cross_k_scale,
-                                   cache.cross_v_scale)
+        # new_k/new_v: (L,B,H,1,Dh); scales (L,B,H,1) — one in-place update each
+        self_k = jax.lax.dynamic_update_slice(cache.self_k, new_k,
+                                              (0, 0, 0, step, 0))
+        self_v = jax.lax.dynamic_update_slice(cache.self_v, new_v,
+                                              (0, 0, 0, step, 0))
+        self_ks = jax.lax.dynamic_update_slice(cache.self_k_scale, new_ks,
+                                               (0, 0, 0, step))
+        self_vs = jax.lax.dynamic_update_slice(cache.self_v_scale, new_vs,
+                                               (0, 0, 0, step))
+        return out, DecoderCacheQ8(self_k, self_v, self_ks, self_vs,
+                                   cache.cross_k, cache.cross_v,
+                                   cache.cross_k_scale, cache.cross_v_scale)
     out, (new_k, new_v) = jax.lax.scan(
         body, x_t,
         (params["layers"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
         unroll=unroll)
     out = layer_norm(params["layer_norm"], out)
-    return out, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    self_k = jax.lax.dynamic_update_slice(cache.self_k, new_k, (0, 0, 0, step, 0))
+    self_v = jax.lax.dynamic_update_slice(cache.self_v, new_v, (0, 0, 0, step, 0))
+    return out, DecoderCache(self_k, self_v, cache.cross_k, cache.cross_v)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,23 @@ jax.config.update("jax_platforms", "cpu")
 # JAX uses for fp32 matmuls by default. Production code runs bf16 on the MXU.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: this image has ONE CPU core, so cold XLA
+# compiles dominate the suite (~30 min cold); warm re-runs drop to minutes.
+# Tests run on the CPU platform, where (unlike the axon tunnel) deserializing
+# cached executables is a clear win. Override dir with SEAMLESS_TEST_XLA_CACHE;
+# set =0 to disable.
+_cache = os.environ.get("SEAMLESS_TEST_XLA_CACHE", "")
+if _cache != "0":
+    _cache_dir = _cache or os.path.join(os.path.expanduser("~"), ".cache",
+                                        "seamless_tpu", "xla_cache_tests")
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():
