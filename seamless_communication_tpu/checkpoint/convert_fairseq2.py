@@ -858,6 +858,18 @@ def aligner_tree_from_pt(ckpt: Mapping, *,
 
 
 # ---------------------------------------------------------------------------
+# MuToX classifier (reference toxicity/mutox/{builder.py:44-64,loader.py:27-35}:
+# Sequential((Dropout,Linear 1024->512),(ReLU,Linear 512->128),(ReLU,Linear
+# 128->1)) under model_all.N.1 keys)
+# ---------------------------------------------------------------------------
+
+def mutox_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
+    n = _num_layers(sd, r"model_all\.([0-9]+)\.")
+    return {"layers": [{"linear": _linear(sd, f"model_all.{i}.1")}
+                       for i in range(n)]}
+
+
+# ---------------------------------------------------------------------------
 # XLSR wav2vec2 (unit extractor; reference wav2vec2_layer_output.py:23-52 via
 # fairseq2's wav2vec2 loader key map)
 # ---------------------------------------------------------------------------

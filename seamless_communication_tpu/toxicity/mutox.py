@@ -20,7 +20,9 @@ from seamless_communication_tpu.ops.modules import (
 class MutoxConfig(NamedTuple):
     input_size: int = 1024
     hidden_sizes: tuple = (512, 128)
-    use_layer_norm: bool = True      # builder: input_size -> LN -> linear...
+    # the reference MLP is plain Dropout/ReLU + Linear, NO norms
+    # (toxicity/mutox/builder.py:44-64)
+    use_layer_norm: bool = False
 
 
 def mutox_init(key: jax.Array, cfg: MutoxConfig = MutoxConfig(), *,

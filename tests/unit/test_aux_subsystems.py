@@ -232,3 +232,50 @@ def test_asr_bleu_with_stub_transcriber():
                                                       "Hello, world"],
                              lang="eng")
     assert score > 99.0   # normalization makes them exact matches
+
+
+def test_mutox_pt_roundtrip_and_speech_pipeline(tmp_path):
+    """Converter round-trip for the reference mutox .pt layout
+    (model_all.N.1 Sequential keys, toxicity/mutox/builder.py:44-64) + the
+    speech pipeline end-to-end with a stub SONAR embedder."""
+    import torch
+
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        load_pt_state_dict, mutox_tree_from_pt,
+    )
+    from seamless_communication_tpu.toxicity.mutox import (
+        MutoxClassifier, MutoxConfig, mutox_forward, mutox_init,
+    )
+    from seamless_communication_tpu.toxicity.mutox_speech import (
+        MutoxSpeechPipeline,
+    )
+
+    cfg = MutoxConfig(input_size=16, hidden_sizes=(8, 4))
+    params = mutox_init(jax.random.PRNGKey(0), cfg)
+    sd = {}
+    for i, layer in enumerate(params["layers"]):
+        w = np.asarray(layer["linear"]["weight"]).T
+        sd[f"model_all.{i}.1.weight"] = torch.from_numpy(w.copy())
+        sd[f"model_all.{i}.1.bias"] = torch.from_numpy(
+            np.asarray(layer["linear"]["bias"]).copy())
+    path = tmp_path / "mutox.pt"
+    torch.save({"model": sd}, path)
+    got = mutox_tree_from_pt(load_pt_state_dict(str(path)))
+    emb = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(mutox_forward(got, jnp.asarray(emb), cfg)),
+                               np.asarray(mutox_forward(params, jnp.asarray(emb), cfg)))
+
+    # e2e pipeline with a stub embedder: loud wavs map to a toxic embedding
+    def stub_embedder(wavs):
+        return np.stack([np.full(16, np.sign(np.mean(np.abs(w))) *
+                                 (10.0 if np.abs(w).max() > 0.5 else -10.0),
+                                 np.float32) for w in wavs])
+
+    pipe = MutoxSpeechPipeline(MutoxClassifier(got, cfg), stub_embedder)
+    quiet = 0.01 * np.ones(1600, np.float32)
+    loud = 0.9 * np.ones(1600, np.float32)
+    logits = pipe.predict([quiet, loud, quiet], batch_size=2)
+    assert logits.shape == (3,)
+    # same input -> same logit (up to batch-composition rounding)
+    np.testing.assert_allclose(logits[0], logits[2], rtol=1e-5)
+    assert abs(logits[0] - logits[1]) > 1e-3   # embedder distinguishes inputs
