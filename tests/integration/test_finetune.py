@@ -142,7 +142,6 @@ def test_sharded_s2s_train_step(arch, batch_fn):
     Covers the NAR duration-supervised path (exceeds the reference, which only
     finetunes AR T2U) and the AR teacher-forced path."""
     from seamless_communication_tpu.parallel.sharding import make_mesh
-    from seamless_communication_tpu.train.trainer import s2st_loss, s2t_loss
 
     cfg = get_arch(arch)
     params = unity.unity_init(jax.random.PRNGKey(1), cfg)
@@ -157,11 +156,12 @@ def test_sharded_s2s_train_step(arch, batch_fn):
     sharded = UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=[batch])
     p2, _, m2 = sharded.train_step(sharded.params, sharded.opt_state, batch)
 
-    # both loss terms participate: loss under S2S > plain S2T loss on same batch
-    s2t_only, n = jax.jit(lambda p, b: s2t_loss(p, cfg, b))(params, batch)
-    total, n_total = jax.jit(lambda p, b: s2st_loss(p, cfg, b))(params, batch)
-    assert float(n_total) > float(n)
-    assert float(total) > float(s2t_only)
+    # the T2U loss term participates: t2u params received nonzero gradients
+    # (cheap proof — no extra compiled programs on this 1-core image)
+    t2u_before = jax.tree.leaves(params["t2u"])
+    t2u_after = jax.tree.leaves(p1["t2u"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(t2u_before, t2u_after))
 
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
     assert np.isfinite(float(m2["loss"]))
