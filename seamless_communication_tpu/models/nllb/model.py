@@ -92,16 +92,21 @@ def text_decoder_forward(params: dict, ids: jax.Array, enc_out: jax.Array,
 
 def text_decoder_step(params: dict, tok_t: jax.Array, cache: DecoderCache,
                       step: jax.Array, cfg: NllbConfig, *,
-                      enc_padding_mask: Optional[jax.Array] = None
+                      enc_padding_mask: Optional[jax.Array] = None,
+                      beam_src: Optional[jax.Array] = None
                       ) -> tuple[jax.Array, DecoderCache]:
     """One KV-cached decode step -> ((B, V) fp32 logits, cache)."""
     x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
     h, cache = transformer_decoder_step(params["stack"], x, cache, step, cfg.dec_cfg(),
-                                        enc_padding_mask=enc_padding_mask)
+                                        enc_padding_mask=enc_padding_mask,
+                                        beam_src=beam_src)
     return tied_projection(params["embed"], h)[:, 0], cache
 
 
 def text_decoder_cache(params: dict, cfg: NllbConfig, enc_out: jax.Array,
-                       max_len: int, *, kv_int8: bool = False) -> DecoderCache:
+                       max_len: int, *, kv_int8: bool = False,
+                       per_layer: bool = True) -> DecoderCache:
+    # per-layer caches are the TPU decode fast path (ops/transformer.py
+    # decoder_cache_init docstring)
     return decoder_cache_init(params["stack"], cfg.dec_cfg(), enc_out, max_len,
-                              kv_int8=kv_int8)
+                              kv_int8=kv_int8, per_layer=per_layer)

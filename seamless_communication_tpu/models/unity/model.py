@@ -95,9 +95,9 @@ def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput):
     """Build the beam-search step_fn + cache factory for the X2T view."""
     mask = enc.padding_mask
 
-    def step_fn(tok_t, cache, step):
+    def step_fn(tok_t, cache, step, beam_src=None):
         return text_decoder_step(params["text_decoder"], tok_t, cache, step, cfg.nllb,
-                                 enc_padding_mask=mask)
+                                 enc_padding_mask=mask, beam_src=beam_src)
 
     def cache_fn(max_len: int, kv_int8: bool = False):
         return text_decoder_cache(params["text_decoder"], cfg.nllb, enc.seqs,

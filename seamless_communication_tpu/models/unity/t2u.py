@@ -355,4 +355,5 @@ def ar_t2u_decoder_step(params: dict, tok_t: jax.Array, cache, step, cfg: ArT2UC
 
 
 def ar_t2u_cache(params: dict, cfg: ArT2UConfig, enc_out: jax.Array, max_len: int):
-    return decoder_cache_init(params["decoder"], cfg.dec_cfg(), enc_out, max_len)
+    return decoder_cache_init(params["decoder"], cfg.dec_cfg(), enc_out, max_len,
+                              per_layer=True)

@@ -58,12 +58,14 @@ class _State(NamedTuple):
     fin_tokens: jax.Array  # (B, K, T_max)
     fin_scores: jax.Array  # (B, K) normalized, NEG_INF if empty
     fin_lengths: jax.Array # (B, K)
+    pending_src: jax.Array # (B*K,) beam-origin permutation (src_to_step mode)
 
 
 def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Array,
                 opts: BeamSearchOptions, vocab_size: int, *,
                 processors: Sequence[Callable] = (),
-                cache_reorder: Optional[Callable] = None) -> BeamSearchResult:
+                cache_reorder: Optional[Callable] = None,
+                src_to_step: bool = False) -> BeamSearchResult:
     """Run beam search.
 
     ``prefix``: (B, P) forced target prefix (e.g. [eos, lang]); ``prefix_len``: (B,)
@@ -95,6 +97,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
         fin_tokens=jnp.full((B, K, T), opts.pad_idx, jnp.int32),
         fin_scores=jnp.full((B, K), NEG_INF, jnp.float32),
         fin_lengths=jnp.zeros((B, K), jnp.int32),
+        pending_src=jnp.arange(B * K, dtype=jnp.int32),
     )
 
     def normalize(score_sum, length):
@@ -111,7 +114,14 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
     def body(s: _State):
         step = s.step
         tok_t = jax.lax.dynamic_slice_in_dim(s.tokens, step, 1, axis=2)  # (B,K,1)
-        logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step)
+        if src_to_step:
+            # the PREVIOUS selection's beam reorder is fused into this step's
+            # cache access (transformer_decoder_step beam_src) — one cache
+            # pass instead of gather + row read-modify-write
+            logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step,
+                                    s.pending_src)
+        else:
+            logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step)
         lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lprobs = lprobs.reshape(B, K, vocab_size)
 
@@ -200,7 +210,9 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
 
         # reorder cache by beam origin on the flattened B*K axis
         flat_src = (jnp.arange(B)[:, None] * K + new_beam_src).reshape(B * K)
-        if cache_reorder is not None:
+        if src_to_step:
+            pass                       # deferred into the next step_fn call
+        elif cache_reorder is not None:
             cache = cache_reorder(cache, flat_src)
         else:
             def gather_beam(a):
@@ -215,7 +227,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
             cache = jax.tree.map(gather_beam, cache)
 
         return _State(step + 1, new_tokens, cont_pick_scores, cache,
-                      fin_tokens, fin_scores, fin_lengths)
+                      fin_tokens, fin_scores, fin_lengths, flat_src)
 
     final = jax.lax.while_loop(cond, body, state)
 
