@@ -33,6 +33,19 @@ from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
 from seamless_communication_tpu.text.nllb import NllbTokenizer
 
 
+def _resolve_fused(fused, unity_cfg: UnitYConfig):
+    """Resolve fused="auto": incremental needs a chunk-causal encoder to stay
+    exact (models/wav2vec2/incremental.py guard); production streaming cards
+    are chunk-causal, tiny test cards may not be."""
+    if fused != "auto":
+        return fused
+    sp = unity_cfg.speech
+    if (sp.chunk_size and sp.left_chunk_num == -1
+            and sp.conformer.causal_depthwise_conv):
+        return "incremental"
+    return True
+
+
 def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                        mono_params: dict, mono_cfg: MonotonicDecoderConfig,
                        text_tokenizer: NllbTokenizer, *, tgt_lang: str = "eng",
@@ -40,16 +53,18 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                        decision_threshold: float = 0.5,
                        denormalize: bool = False, max_len_b: int = 200,
                        max_consecutive_writes: int = 50,
-                       fused=True) -> AgentPipeline:
+                       fused="auto") -> AgentPipeline:
     """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43).
 
-    ``fused=True`` (default) runs encoder + monotonic prefill + EMMA write burst
-    as ONE compiled program per chunk (streaming/fused.py);
-    ``fused="incremental"`` additionally encodes only the NEW fbank block each
-    chunk (exact for the chunk-causal streaming conformer; O(T) total encoder
-    compute, zero mid-stream recompiles); ``fused=False`` keeps the reference's
-    separate encoder/decoder agents (needed for ``no_early_stop`` /
-    ``block_ngrams`` policy variants)."""
+    ``fused="auto"`` (default) resolves to ``"incremental"`` — encoder +
+    monotonic prefill + EMMA write burst as ONE compiled program per chunk
+    (streaming/fused.py), encoding only the NEW fbank block each chunk (exact
+    for chunk-causal encoders; O(T) total encoder compute, zero mid-stream
+    recompiles) — when the card's encoder is chunk-causal (the production
+    streaming archs are), else to plain fused. ``fused=False`` keeps the
+    reference's separate encoder/decoder agents (needed for ``no_early_stop``
+    / ``block_ngrams`` policy variants)."""
+    fused = _resolve_fused(fused, unity_cfg)
     if fused:
         from seamless_communication_tpu.streaming.fused import (
             FusedMMASpeechToTextDecoderAgent,
@@ -93,13 +108,12 @@ def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                         denormalize: bool = False, max_len_b: int = 200,
                         max_consecutive_writes: int = 50,
                         text_bucket: int = 16,
-                        fused=True) -> AgentPipeline:
+                        fused="auto") -> AgentPipeline:
     """SeamlessStreaming S2ST pipeline (seamless_streaming_s2st.py:28-36).
 
-    ``fused=True`` (default) fuses encoder + monotonic prefill + write burst
-    into one compiled program per chunk (streaming/fused.py);
-    ``fused="incremental"`` also makes the encoder incremental (exact,
-    chunk-causal)."""
+    ``fused="auto"`` (default) resolves to ``"incremental"`` for chunk-causal
+    encoder cards, else plain fused (see build_s2t_pipeline)."""
+    fused = _resolve_fused(fused, unity_cfg)
     if fused:
         from seamless_communication_tpu.streaming.fused import (
             FusedUnitYMMATextDecoderAgent,
@@ -150,9 +164,11 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                                    min_unit_chunk_size: int = 50,
                                    denormalize: bool = False,
                                    use_vad: bool = False,
-                                   fused: bool = True) -> AgentPipeline:
+                                   fused="auto") -> AgentPipeline:
     """SeamlessExpressive streaming S2ST (reference seamless_s2st.py:35-77): the
-    PRETSSEL vocoder agent reads the accumulated source audio for prosody."""
+    PRETSSEL vocoder agent reads the accumulated source audio for prosody.
+    ``fused="auto"`` as in build_s2t_pipeline."""
+    fused = _resolve_fused(fused, unity_cfg)
     from seamless_communication_tpu.streaming.agents.pretssel_vocoder import (
         PretsselVocoderAgent,
     )
