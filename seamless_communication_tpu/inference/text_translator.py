@@ -51,9 +51,10 @@ class TextTranslator:
                 mask = jnp.repeat(
                     jnp.arange(ids.shape[1])[None, :] < lens[:, None], K, axis=0)
 
-                def step_fn(tok_t, cache, step):
+                def step_fn(tok_t, cache, step, beam_src=None):
                     return text_decoder_step(dec_p, tok_t, cache, step, self.cfg,
-                                             enc_padding_mask=mask)
+                                             enc_padding_mask=mask,
+                                             beam_src=beam_src)
 
                 cache = text_decoder_cache(dec_p, self.cfg, enc_bk, max_len)
                 from seamless_communication_tpu.ops.transformer import (
@@ -61,8 +62,7 @@ class TextTranslator:
                 )
                 return beam_search(step_fn, cache, prefix,
                                    jnp.full((ids.shape[0],), 2, jnp.int32), opts,
-                                   self.cfg.vocab_size,
-                                   cache_reorder=decoder_cache_beam_reorder)
+                                   self.cfg.vocab_size, src_to_step=True)
 
             self._jit[max_len] = jax.jit(run)
         return self._jit[max_len]

@@ -347,10 +347,11 @@ def ar_t2u_encode(params: dict, cfg: ArT2UConfig, text_dec_out: jax.Array,
 
 
 def ar_t2u_decoder_step(params: dict, tok_t: jax.Array, cache, step, cfg: ArT2UConfig,
-                        *, enc_padding_mask=None):
+                        *, enc_padding_mask=None, beam_src=None):
     x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
     h, cache = transformer_decoder_step(params["decoder"], x, cache, step,
-                                        cfg.dec_cfg(), enc_padding_mask=enc_padding_mask)
+                                        cfg.dec_cfg(), enc_padding_mask=enc_padding_mask,
+                                        beam_src=beam_src)
     return tied_projection(params["embed"], h)[:, 0], cache
 
 

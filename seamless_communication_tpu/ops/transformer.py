@@ -269,7 +269,9 @@ def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Arra
     if isinstance(cache.self_k, (tuple, list)):
         return _decoder_step_per_layer(params, x_t, cache, step, cfg,
                                        cross_bias, int8, beam_src)
-    assert beam_src is None, "beam_src requires per-layer caches"
+    if beam_src is not None:
+        return _decoder_step_scan_src(params, x_t, cache, step, cfg,
+                                      cross_bias, int8, beam_src)
 
     # The per-layer scan only READS the cache (xs) and emits the current
     # position's tiny (B,H,1,Dh) K/V rows (ys); the full cache is updated with
@@ -340,6 +342,72 @@ def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Arra
     return out, DecoderCache(self_k, self_v, cache.cross_k, cache.cross_v)
 
 
+def _decoder_step_scan_src(params: dict, x_t: jax.Array, cache,
+                           step: jax.Array, cfg: TransformerConfig,
+                           cross_bias, int8: bool, beam_src: jax.Array):
+    """Stacked-cache decode step with the beam reorder fused into the layer
+    scan: each layer's cache slice is gathered by ``beam_src``, the new KV row
+    is selected in, and the result is emitted as the scan output — the whole
+    cache is read and written exactly once per step, in one compiled scan body
+    (compiles ~5x faster than unrolling the fused layers)."""
+    T = cache.self_k.shape[3]
+    pos_is_step = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2) == step
+
+    def body(h, scanned):
+        if int8:
+            layer_p, sk, sv, sks, svs, ck, cv, cks, cvs = scanned
+            cross_kv = attn_ops.Int8KVCache(ck, cv, cks, cvs)
+        else:
+            layer_p, sk, sv, ck, cv = scanned
+            cross_kv = KVCache(ck, cv)
+        z = layer_norm(layer_p["self_attn_layer_norm"], h)
+        sk, sv = sk[beam_src], sv[beam_src]
+        if int8:
+            sks, svs = sks[beam_src], svs[beam_src]
+            y, kq, ks, vq, vs = attn_ops.self_attention_step_nocache_int8(
+                layer_p["self_attn"], z, sk, sv, sks, svs, step, cfg.num_heads)
+            new_cache = (jnp.where(pos_is_step, kq, sk),
+                         jnp.where(pos_is_step, vq, sv),
+                         jnp.where(pos_is_step[..., 0], ks, sks),
+                         jnp.where(pos_is_step[..., 0], vs, svs))
+        else:
+            y, k_t, v_t = attn_ops.self_attention_step_nocache(
+                layer_p["self_attn"], z, sk, sv, step, cfg.num_heads)
+            new_cache = (jnp.where(pos_is_step, k_t.astype(sk.dtype), sk),
+                         jnp.where(pos_is_step, v_t.astype(sv.dtype), sv))
+        h = h + y
+        z = layer_norm(layer_p["cross_attn_layer_norm"], h)
+        if int8:
+            h = h + attn_ops.cross_attention_step_int8(
+                layer_p["cross_attn"], z, cross_kv, cfg.num_heads,
+                bias=cross_bias)
+        else:
+            h = h + attn_ops.cross_attention_step(
+                layer_p["cross_attn"], z, cross_kv, cfg.num_heads,
+                bias=cross_bias)
+        z = layer_norm(layer_p["ffn"]["layer_norm"], h)
+        z = _act(cfg.activation)(linear(layer_p["ffn"]["inner_proj"], z))
+        h = h + linear(layer_p["ffn"]["output_proj"], z)
+        return h, new_cache
+
+    unroll = int(os.environ.get("SEAMLESS_DECODE_UNROLL", "1"))
+    if int8:
+        out, (nk, nv, nks, nvs) = jax.lax.scan(
+            body, x_t,
+            (params["layers"], cache.self_k, cache.self_v, cache.self_k_scale,
+             cache.self_v_scale, cache.cross_k, cache.cross_v,
+             cache.cross_k_scale, cache.cross_v_scale), unroll=unroll)
+        out = layer_norm(params["layer_norm"], out)
+        return out, cache._replace(self_k=nk, self_v=nv,
+                                   self_k_scale=nks, self_v_scale=nvs)
+    out, (nk, nv) = jax.lax.scan(
+        body, x_t,
+        (params["layers"], cache.self_k, cache.self_v, cache.cross_k,
+         cache.cross_v), unroll=unroll)
+    out = layer_norm(params["layer_norm"], out)
+    return out, cache._replace(self_k=nk, self_v=nv)
+
+
 def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                             step: jax.Array, cfg: TransformerConfig,
                             cross_bias, int8: bool,
@@ -372,7 +440,12 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
             y, kq, ks, vq, vs = attn_ops.self_attention_step_nocache_int8(
                 lp["self_attn"], z, ski, svi, sksi, svsi, step,
                 cfg.num_heads)
-            if beam_src is not None:
+            if beam_src is not None and os.environ.get("SEAMLESS_BEAMSRC_DUS"):
+                sk[i] = jax.lax.dynamic_update_slice(ski, kq, (0, 0, step, 0))
+                sv[i] = jax.lax.dynamic_update_slice(svi, vq, (0, 0, step, 0))
+                sks[i] = jax.lax.dynamic_update_slice(sksi, ks, (0, 0, step))
+                svs[i] = jax.lax.dynamic_update_slice(svsi, vs, (0, 0, step))
+            elif beam_src is not None:
                 sk[i] = jnp.where(pos_is_step, kq, ski)
                 sv[i] = jnp.where(pos_is_step, vq, svi)
                 sks[i] = jnp.where(pos_is_step[..., 0], ks, sksi)
