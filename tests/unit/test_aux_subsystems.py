@@ -279,3 +279,47 @@ def test_mutox_pt_roundtrip_and_speech_pipeline(tmp_path):
     # same input -> same logit (up to batch-composition rounding)
     np.testing.assert_allclose(logits[0], logits[2], rtol=1e-5)
     assert abs(logits[0] - logits[1]) > 1e-3   # embedder distinguishes inputs
+
+
+def test_aggregate_xplane_parses_wire_format(tmp_path):
+    """The dependency-free xplane reader must aggregate per-op durations from
+    a hand-encoded XSpace proto (utils/profiling.py wire-format subset)."""
+    from seamless_communication_tpu.utils.profiling import aggregate_xplane
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def field(num, wire, payload):
+        tag = varint((num << 3) | wire)
+        if wire == 2:
+            return tag + varint(len(payload)) + payload
+        return tag + varint(payload)
+
+    def msg(*fields):
+        return b"".join(fields)
+
+    meta1 = field(4, 2, msg(field(1, 0, 7),
+                            field(2, 2, msg(field(1, 0, 7),
+                                            field(2, 2, b"%fusion.1")))))
+    meta2 = field(4, 2, msg(field(1, 0, 9),
+                            field(2, 2, msg(field(1, 0, 9),
+                                            field(2, 2, b"%copy.2")))))
+    ev = lambda mid, ps: field(4, 2, msg(field(1, 0, mid), field(3, 0, ps)))
+    line = field(3, 2, msg(field(2, 2, b"XLA Ops"),
+                           ev(7, 1_000_000_000), ev(7, 500_000_000),
+                           ev(9, 250_000_000)))
+    other_line = field(3, 2, msg(field(2, 2, b"Steps"), ev(7, 9_999_999_999)))
+    plane = field(1, 2, msg(field(2, 2, b"/device:TPU:0"),
+                            meta1, meta2, line, other_line))
+    cpu_plane = field(1, 2, msg(field(2, 2, b"/host:CPU"), meta1, line))
+    path = tmp_path / "t.xplane.pb"
+    path.write_bytes(msg(plane, cpu_plane))
+
+    out = aggregate_xplane(str(path))
+    assert out == [(1.5, 2, "%fusion.1"), (0.25, 1, "%copy.2")]
