@@ -31,7 +31,6 @@ from seamless_communication_tpu.ops.beam_search import (
     BeamSearchOptions, beam_search, make_banned_sequence_processor,
     make_ngram_repeat_block,
 )
-from seamless_communication_tpu.ops.transformer import decoder_cache_beam_reorder
 from seamless_communication_tpu.text.char_frontend import text_to_char_seqs
 from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
 from seamless_communication_tpu.text.nllb import NllbTokenizer

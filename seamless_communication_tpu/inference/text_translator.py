@@ -57,9 +57,6 @@ class TextTranslator:
                                              beam_src=beam_src)
 
                 cache = text_decoder_cache(dec_p, self.cfg, enc_bk, max_len)
-                from seamless_communication_tpu.ops.transformer import (
-                    decoder_cache_beam_reorder,
-                )
                 return beam_search(step_fn, cache, prefix,
                                    jnp.full((ids.shape[0],), 2, jnp.int32), opts,
                                    self.cfg.vocab_size, src_to_step=True)

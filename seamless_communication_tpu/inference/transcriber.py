@@ -24,7 +24,7 @@ from seamless_communication_tpu.models.unity import model as unity
 from seamless_communication_tpu.models.unity.builder import UnitYConfig
 from seamless_communication_tpu.ops import attention as attn_ops
 from seamless_communication_tpu.ops.masks import (
-    causal_mask, combine_masks, lengths_to_padding_mask, padding_bias,
+    causal_mask, lengths_to_padding_mask, padding_bias,
 )
 from seamless_communication_tpu.ops.modules import layer_norm, linear
 from seamless_communication_tpu.ops.transformer import embedding_frontend

@@ -17,7 +17,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
-import jax.numpy as jnp
 
 from seamless_communication_tpu.models.nllb.model import NllbConfig
 from seamless_communication_tpu.models.pretssel.ecapa_tdnn import EcapaConfig

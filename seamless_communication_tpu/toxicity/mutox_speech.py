@@ -18,13 +18,11 @@ Three ways to provide one:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import numpy as np
 
-from seamless_communication_tpu.toxicity.mutox import (
-    MutoxClassifier, MutoxConfig, mutox_init,
-)
+from seamless_communication_tpu.toxicity.mutox import MutoxClassifier, MutoxConfig
 
 
 def sonar_torchscript_embedder(path: str, *, device: str = "cpu"
