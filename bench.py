@@ -21,14 +21,6 @@ import numpy as np
 def main() -> None:
     import os
 
-    # Compiles happen on the remote axon service and their latency is highly
-    # variable (80 s .. 19 min observed for this same program, ~20 s of local
-    # CPU either way); the persistent cache's deserialize is slower than the
-    # BEST observed compile (~240 s vs 80 s) but far more predictable, so
-    # bench keeps it on. Opt out with SEAMLESS_COMPILE_CACHE=0.
-    if os.environ.get("SEAMLESS_COMPILE_CACHE") != "0":
-        os.environ.setdefault("SEAMLESS_COMPILE_CACHE", "1")
-
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,220 @@
+"""Fused beam-gather + KV-row-insert + causal decode attention (Pallas/TPU).
+
+One decode step of int8-KV self-attention does, per layer:
+
+  1. gather the (B,H,T,Dh) KV cache by the beam-origin permutation ``src``
+  2. write the current token's quantized K/V row at position ``step``
+  3. read the whole cache again for the attention contraction
+
+Expressed as XLA ops (gather + select + einsums) this costs ~2.5 passes over
+the cache plus fp32 VPU chains — profiled at ~1.3 ms of a 2.9 ms v2-large
+decode step (docs/performance.md). This kernel does all three in ONE pass:
+each grid program DMAs its source beam's cache block into VMEM (the gather is
+the mandatory read), computes the attention on-chip, and writes the updated
+block out exactly once.
+
+Numerics follow ops/attention.py self_attention_step_nocache_int8: history
+logits are (q . k_int8) * k_scale with fp32 accumulation; the CURRENT token's
+logit/value use the unquantized row; softmax in fp32. The quantized current
+row is stored with ops/attention.py quantize_kv_rows semantics.
+
+Reference counterpart: fairseq2's IncrementalStateBag attention reads
+(fairseq2 attention.py); re-designed here for the TPU memory system.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def _reference(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale, step, src):
+    """Pure-JAX reference (and CPU fallback): gather + select + attention,
+    math-identical to the kernel. Shapes: q/k_t/v_t (B,H,Dh); caches
+    (B,H,T,Dh) int8; scales (B,H,T) f32; src (B,) int32."""
+    from seamless_communication_tpu.ops.attention import quantize_kv_rows
+
+    dtype = q.dtype
+    T = k_cache.shape[2]
+    dh = q.shape[-1]
+    k_cache, v_cache = k_cache[src], v_cache[src]
+    k_scale, v_scale = k_scale[src], v_scale[src]
+
+    logits = jnp.einsum("bhd,bhtd->bht", q, k_cache.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * k_scale / math.sqrt(dh)
+    lcur = jnp.einsum("bhd,bhd->bh", q, k_t,
+                      preferred_element_type=jnp.float32) / math.sqrt(dh)
+    t = jnp.arange(T)[None, None, :]
+    valid = t < step
+    logits = jnp.where(valid, logits, NEG)
+    m = jnp.maximum(jnp.max(logits, axis=-1), lcur)
+    p = jnp.where(valid, jnp.exp(logits - m[..., None]), 0.0)
+    pc = jnp.exp(lcur - m)
+    den = jnp.sum(p, axis=-1) + pc
+    out = jnp.einsum("bht,bhtd->bhd", (p * v_scale).astype(dtype),
+                     v_cache.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = (out + pc[..., None] * v_t.astype(jnp.float32)) / den[..., None]
+
+    kq, ks = quantize_kv_rows(k_t)
+    vq, vs = quantize_kv_rows(v_t)
+    is_cur = t == step
+    new_k = jnp.where(is_cur[..., None], kq[:, :, None, :], k_cache)
+    new_v = jnp.where(is_cur[..., None], vq[:, :, None, :], v_cache)
+    new_ks = jnp.where(is_cur, ks[:, :, None], k_scale)
+    new_vs = jnp.where(is_cur, vs[:, :, None], v_scale)
+    return out.astype(dtype), new_k, new_v, new_ks, new_vs
+
+
+def _kernel(step_ref, src_ref, q_ref, kt_ref, vt_ref, kc_ref, vc_ref,
+            ks_ref, vs_ref, out_ref, nkc_ref, nvc_ref, nks_ref, nvs_ref,
+            *, dh: int):
+    from jax.experimental import pallas as pl
+
+    step = step_ref[0]
+    q = q_ref[0]                       # (H, Dh) model dtype
+    dtype = q.dtype
+    kc = kc_ref[0]                     # (H, T, Dh) int8 (gathered by index_map)
+    vc = vc_ref[0]
+    ks = ks_ref[0]                     # (H, T) f32
+    vs = vs_ref[0]
+    H, T, _ = kc.shape
+
+    # current-row quantization (quantize_kv_rows semantics)
+    ktf = kt_ref[0].astype(jnp.float32)
+    vtf = vt_ref[0].astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(ktf), axis=-1) / 127.0, 1e-8)   # (H,)
+    sv = jnp.maximum(jnp.max(jnp.abs(vtf), axis=-1) / 127.0, 1e-8)
+    # keep the quantized rows in f32: Mosaic only supports minor-dim
+    # insertion/broadcast on 32-bit vectors; cast to int8 at the final store
+    k8f = jnp.clip(jnp.round(ktf / sk[:, None]), -127, 127)          # (H, Dh)
+    v8f = jnp.clip(jnp.round(vtf / sv[:, None]), -127, 127)
+
+    # history logits (H,T): Mosaic has no batched dot — unroll the H loop
+    # with 2D dots contracting Dh (no in-kernel transposes)
+    logits = jnp.concatenate([
+        jax.lax.dot_general(q[h:h + 1], kc[h].astype(dtype),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)                                   # (H, T)
+    logits = logits * ks / math.sqrt(dh)
+    lcur = jnp.sum((q * kt_ref[0]).astype(jnp.float32), axis=-1) / math.sqrt(dh)
+
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (H, T), 1)
+    valid = t_iota < step
+    logits = jnp.where(valid, logits, NEG)
+    m = jnp.maximum(jnp.max(logits, axis=-1), lcur)                   # (H,)
+    p = jnp.where(valid, jnp.exp(logits - m[:, None]), 0.0)
+    pc = jnp.exp(lcur - m)
+    den = jnp.sum(p, axis=-1) + pc
+
+    p2 = (p * vs).astype(dtype)
+    out = jnp.concatenate([
+        jax.lax.dot_general(p2[h:h + 1], vc[h].astype(dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)                                   # (H, Dh)
+    out = (out + pc[:, None] * vtf) / den[:, None]
+    out_ref[0] = out.astype(dtype)
+
+    # one-pass write-back: gathered block with the new row selected in
+    # (3D iota, not reshape: Mosaic can't insert minor dims on 8-bit vectors)
+    is_cur = t_iota == step
+    is_cur3 = jax.lax.broadcasted_iota(jnp.int32, kc.shape, 1) == step
+    nkc_ref[0] = jnp.where(is_cur3, k8f[:, None, :],
+                           kc.astype(jnp.float32)).astype(jnp.int8)
+    nvc_ref[0] = jnp.where(is_cur3, v8f[:, None, :],
+                           vc.astype(jnp.float32)).astype(jnp.int8)
+    nks_ref[0] = jnp.where(is_cur, sk[:, None], ks)
+    nvs_ref[0] = jnp.where(is_cur, sv[:, None], vs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_call(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
+                 step_arr, src, *, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, T, Dh = k_cache.shape
+
+    def vec_idx(b, step_r, src_r):
+        return (b, 0, 0)
+
+    def gath_idx(b, step_r, src_r):
+        return (src_r[b], 0, 0, 0)
+
+    def gath_idx3(b, step_r, src_r):
+        return (src_r[b], 0, 0)
+
+    def out_idx(b, step_r, src_r):
+        return (b, 0, 0, 0)
+
+    def out_idx3(b, step_r, src_r):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, T, Dh), gath_idx),
+            pl.BlockSpec((1, H, T, Dh), gath_idx),
+            pl.BlockSpec((1, H, T), gath_idx3),
+            pl.BlockSpec((1, H, T), gath_idx3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, T, Dh), out_idx),
+            pl.BlockSpec((1, H, T, Dh), out_idx),
+            pl.BlockSpec((1, H, T), out_idx3),
+            pl.BlockSpec((1, H, T), out_idx3),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, dh=Dh),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, Dh), jnp.int8),
+            jax.ShapeDtypeStruct((B, H, T, Dh), jnp.int8),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(step_arr, src, q, k_t, v_t, k_cache, v_cache, k_scale, v_scale)
+
+
+def fused_decode_self_attention_int8(q, k_t, v_t, k_cache, v_cache,
+                                     k_scale, v_scale, step, src, *,
+                                     use_pallas: bool | None = None,
+                                     interpret: bool = False):
+    """Fused gather+insert+attend decode step (int8 KV).
+
+    q/k_t/v_t: (B,H,Dh) projected current-token tensors; caches (B,H,T,Dh)
+    int8 with (B,H,T) f32 row scales; ``src`` (B,) beam-origin permutation
+    applied to the caches; ``step`` current position. Returns
+    (out (B,H,Dh), new_k, new_v, new_k_scale, new_v_scale).
+
+    ``use_pallas=None`` auto-selects: the kernel on TPU, the identical-math
+    pure-JAX composition elsewhere (or with SEAMLESS_PALLAS_DECODE=0).
+    """
+    import os
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("SEAMLESS_PALLAS_DECODE") != "0")
+    if not use_pallas:
+        return _reference(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
+                          step, src)
+    step_arr = jnp.reshape(jnp.asarray(step, jnp.int32), (1,))
+    return _pallas_call(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
+                        step_arr, jnp.asarray(src, jnp.int32),
+                        interpret=interpret)

@@ -342,6 +342,18 @@ def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Arra
     return out, DecoderCache(self_k, self_v, cache.cross_k, cache.cross_v)
 
 
+def _pallas_decode_enabled() -> bool:
+    """The fused decode-attention kernel runs only on real TPU (Mosaic);
+    SEAMLESS_PALLAS_DECODE=0 opts out. CPU keeps the plain-XLA composition so
+    hermetic tests stay bit-identical."""
+    if os.environ.get("SEAMLESS_PALLAS_DECODE") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _decoder_step_scan_src(params: dict, x_t: jax.Array, cache,
                            step: jax.Array, cfg: TransformerConfig,
                            cross_bias, int8: bool, beam_src: jax.Array):
@@ -426,6 +438,34 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
     for i in range(L):
         lp = jax.tree.map(lambda a: a[i], params["layers"])
         z = layer_norm(lp["self_attn_layer_norm"], h)
+        if beam_src is not None and int8 and _pallas_decode_enabled():
+            # Pallas fast path: gather + row insert + attention in ONE VMEM
+            # pass per beam (ops/kernels/decode_attention.py)
+            from seamless_communication_tpu.ops.kernels.decode_attention import (
+                fused_decode_self_attention_int8,
+            )
+            ap = lp["self_attn"]
+            qh = attn_ops._split_heads(linear(ap["q_proj"], z),
+                                       cfg.num_heads)[:, :, 0]
+            kh = attn_ops._split_heads(linear(ap["k_proj"], z),
+                                       cfg.num_heads)[:, :, 0]
+            vh = attn_ops._split_heads(linear(ap["v_proj"], z),
+                                       cfg.num_heads)[:, :, 0]
+            o, sk[i], sv[i], sks[i], svs[i] = fused_decode_self_attention_int8(
+                qh, kh, vh, sk[i], sv[i], sks[i], svs[i], step, beam_src,
+                use_pallas=True)
+            y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
+            h = h + y
+            z = layer_norm(lp["cross_attn_layer_norm"], h)
+            h = h + attn_ops.cross_attention_step_int8(
+                lp["cross_attn"], z, attn_ops.Int8KVCache(
+                    cache.cross_k[i], cache.cross_v[i],
+                    cache.cross_k_scale[i], cache.cross_v_scale[i]),
+                cfg.num_heads, bias=cross_bias)
+            z = layer_norm(lp["ffn"]["layer_norm"], h)
+            z = _act(cfg.activation)(linear(lp["ffn"]["inner_proj"], z))
+            h = h + linear(lp["ffn"]["output_proj"], z)
+            continue
         if beam_src is not None:
             # fused reorder: gathered history feeds both the attention read
             # and (with the new row selected in) the cache write — one pass

@@ -1,0 +1,71 @@
+"""Fused gather+insert+attend decode kernel (ops/kernels/decode_attention.py):
+the Pallas kernel (interpret mode — hermetic on CPU) must match both its
+pure-JAX reference and the composed ops/attention.py int8 step it replaces."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seamless_communication_tpu.ops import attention as A
+from seamless_communication_tpu.ops.kernels.decode_attention import (
+    _reference, fused_decode_self_attention_int8,
+)
+
+B, H, T, Dh = 5, 4, 24, 8
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    return dict(
+        q=jnp.asarray(rng.standard_normal((B, H, Dh)), jnp.float32),
+        kt=jnp.asarray(rng.standard_normal((B, H, Dh)), jnp.float32),
+        vt=jnp.asarray(rng.standard_normal((B, H, Dh)), jnp.float32),
+        kc=jnp.asarray(rng.integers(-127, 128, (B, H, T, Dh)), jnp.int8),
+        vc=jnp.asarray(rng.integers(-127, 128, (B, H, T, Dh)), jnp.int8),
+        ks=jnp.asarray(rng.random((B, H, T)) * 0.1 + 0.01, jnp.float32),
+        vs=jnp.asarray(rng.random((B, H, T)) * 0.1 + 0.01, jnp.float32),
+        src=jnp.array([3, 0, 2, 1, 4], jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("step", [0, 5, T - 1])
+def test_kernel_matches_reference(data, step):
+    d = data
+    args = (d["q"], d["kt"], d["vt"], d["kc"], d["vc"], d["ks"], d["vs"],
+            jnp.int32(step), d["src"])
+    ref = _reference(*args)
+    ker = fused_decode_self_attention_int8(*args, use_pallas=True,
+                                           interpret=True)
+    for i, (a, b) in enumerate(zip(ref, ker)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"out {i}")
+
+
+def test_reference_matches_attention_step(data):
+    """_reference == self_attention_step_nocache_int8 on the gathered cache
+    (identity projections isolate the attention math)."""
+    d = data
+    eye = {"weight": jnp.eye(H * Dh), "bias": None}
+    params = {k: eye for k in ("q_proj", "k_proj", "v_proj", "output_proj")}
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((B, 1, H * Dh)),
+                    jnp.float32)
+    step = jnp.int32(7)
+    src = d["src"]
+    y, kq, ks2, vq, vs2 = A.self_attention_step_nocache_int8(
+        params, x, d["kc"][src], d["vc"][src], d["ks"][src], d["vs"][src],
+        step, H)
+    xh = A._split_heads(x, H)[:, :, 0]
+    out, nk, nv, nks, nvs = _reference(xh, xh, xh, d["kc"], d["vc"],
+                                       d["ks"], d["vs"], step, src)
+    np.testing.assert_allclose(np.asarray(y[:, 0]),
+                               np.asarray(A._merge_heads(out[:, :, None])[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+    # written rows match the step function's quantized rows
+    np.testing.assert_array_equal(np.asarray(nk[:, :, 7]), np.asarray(kq[:, :, 0]))
+    np.testing.assert_allclose(np.asarray(nks[:, :, 7]), np.asarray(ks2[:, :, 0]))
+    # history preserved from the SOURCE beams
+    np.testing.assert_array_equal(np.asarray(nk[:, :, :7]),
+                                  np.asarray(d["kc"][src][:, :, :7]))
