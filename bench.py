@@ -152,6 +152,71 @@ def main() -> None:
         extra["s2tt_batch8_rtf"] = round(s2tt_rtf, 5)
         extra["s2tt_batch8_audio_s_per_s"] = round(1.0 / s2tt_rtf, 1)
 
+    # opt-in expressive-synthesis RTF (BASELINE.json config 4): PRETSSEL
+    # 16 kHz production config, 640 units / ~12.8 s of speech
+    if os.environ.get("BENCH_EXPRESSIVE"):
+        from seamless_communication_tpu.models.pretssel.vocoder import (
+            PretsselConfig, pretssel_forward, pretssel_init,
+        )
+        pcfg = PretsselConfig()
+        pparams = pretssel_init(jax.random.PRNGKey(2), pcfg, dtype=dtype)
+        U, MEL = 640, 1600
+        units = jnp.asarray(rng.integers(4, 10000, (1, U)), jnp.int32)
+        durs = jnp.full((1, U), 2, jnp.int32)
+        pros = jnp.asarray(rng.standard_normal((1, MAX_FRAMES, 80)), dtype)
+
+        def expressive(pparams, units, durs, pros):
+            out = pretssel_forward(pparams, pcfg, units, jnp.array([U]), durs,
+                                   pros, jnp.array([MAX_FRAMES]),
+                                   jnp.array([0]), max_mel_len=MEL)
+            return out.waveform, out.sample_lengths
+
+        efn = jax.jit(expressive)
+        wave, wl = efn(pparams, units, durs, pros)
+        n = int(np.asarray(wl)[0])
+        t0 = time.time()
+        wave, wl = efn(pparams, units, durs, pros)
+        np.asarray(wave[:, :8])
+        seconds_out = n / 16000.0
+        extra["expressive_synth_rtf"] = round((time.time() - t0) / seconds_out, 5)
+        extra["expressive_synth_audio_s"] = round(seconds_out, 2)
+
+    # opt-in single-chip training throughput: SeamlessM4T-medium S2T step with
+    # the big-model single-chip recipe — bf16 params, factored optimizer
+    # states (adafactor), per-layer activation remat (16 GB HBM budget; fp32
+    # v2-large + adam does not fit one chip, that is what dp+tp meshes are for)
+    if os.environ.get("BENCH_TRAIN"):
+        del params  # free the inference weights before allocating train state
+        import gc
+        import optax
+        from seamless_communication_tpu.train.trainer import make_train_step
+
+        gc.collect()
+        tcfg = get_arch("medium")
+        opt = optax.adafactor(1e-4)
+        tb, tt = 4, 128
+        tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
+                                   dtype=jnp.bfloat16)
+        topt = opt.init(tparams)
+        batch = {
+            "fbank": jnp.asarray(rng.standard_normal((tb, MAX_FRAMES, 80)),
+                                 jnp.float32),
+            "fbank_lens": jnp.full((tb,), MAX_FRAMES, jnp.int32),
+            "prev_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)), jnp.int32),
+            "target_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)), jnp.int32),
+            "target_lens": jnp.full((tb,), tt, jnp.int32),
+        }
+        tstep = jax.jit(make_train_step(tcfg, opt, remat=True))
+        tparams, topt, m = tstep(tparams, topt, batch)
+        float(m["loss"])
+        t0 = time.time()
+        tparams, topt, m = tstep(tparams, topt, batch)
+        float(m["loss"])
+        dt = time.time() - t0
+        extra["train_medium_step_s"] = round(dt, 3)
+        extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
+        extra["train_medium_audio_s_per_s"] = round(tb * AUDIO_SECONDS / dt, 2)
+
     print(json.dumps({
         "metric": "s2st_rtf_v2_large_10s_worstcase",
         "value": round(rtf, 5),

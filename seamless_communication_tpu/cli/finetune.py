@@ -34,6 +34,9 @@ def main() -> None:
     parser.add_argument("--freeze_text_encoder", action="store_true", default=True)
     parser.add_argument("--freeze_speech_encoder", action="store_true")
     parser.add_argument("--local_hf_path", type=str, default=None)
+    parser.add_argument("--remat", action="store_true",
+                        help="recompute layer activations in backward "
+                             "(jax.checkpoint) to fit bigger batches/models")
     parser.add_argument("--resume", type=str, default=None,
                         help="restore a full train-state checkpoint written by "
                              "--save_state_to (params + optimizer + counters; "
@@ -68,7 +71,8 @@ def main() -> None:
         eval_steps=args.eval_steps, log_steps=args.log_steps,
         label_smoothing=args.label_smoothing,
         freeze_text_encoder=args.freeze_text_encoder,
-        freeze_speech_encoder=args.freeze_speech_encoder)
+        freeze_speech_encoder=args.freeze_speech_encoder,
+        remat=args.remat)
 
     train_data = manifest_batches(args.train_dataset, text_tok,
                                   batch_size=args.batch_size)

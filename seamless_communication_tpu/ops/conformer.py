@@ -157,7 +157,8 @@ def conformer_encoder(stacked_params: dict, x: jax.Array, cfg: ConformerConfig, 
         return conformer_layer(layer_params, h, cfg, attn_bias=bias,
                                padding_mask=padding_mask), None
 
-    out, _ = jax.lax.scan(body, x, stacked_params)
+    from seamless_communication_tpu.ops import remat
+    out, _ = jax.lax.scan(remat.maybe_checkpoint(body), x, stacked_params)
     return out
 
 

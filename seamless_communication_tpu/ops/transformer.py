@@ -30,6 +30,7 @@ from seamless_communication_tpu.ops.modules import (
     embedding, layer_norm, layer_norm_init, linear, linear_init,
 )
 from seamless_communication_tpu.ops.positional import apply_sinusoidal_pos
+from seamless_communication_tpu.ops import remat
 
 
 class TransformerConfig(NamedTuple):
@@ -112,7 +113,7 @@ def transformer_encoder(params: dict, x: jax.Array, cfg: TransformerConfig, *,
         return _layer_forward(layer_p, h, cfg, self_bias=bias, enc_out=None,
                               cross_bias=None), None
 
-    out, _ = jax.lax.scan(body, x, params["layers"])
+    out, _ = jax.lax.scan(remat.maybe_checkpoint(body), x, params["layers"])
     return layer_norm(params["layer_norm"], out)
 
 
@@ -134,7 +135,7 @@ def transformer_decoder(params: dict, x: jax.Array, cfg: TransformerConfig, *,
         return _layer_forward(layer_p, h, cfg, self_bias=self_bias, enc_out=enc_out,
                               cross_bias=cross_bias), None
 
-    out, _ = jax.lax.scan(body, x, params["layers"])
+    out, _ = jax.lax.scan(remat.maybe_checkpoint(body), x, params["layers"])
     return layer_norm(params["layer_norm"], out)
 
 
