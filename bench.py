@@ -59,6 +59,7 @@ def main() -> None:
     voc_cfg = CodeHifiGanConfig()
     voc_params = code_hifigan_init(jax.random.PRNGKey(1), voc_cfg, dtype=dtype)
 
+    kv_int8 = not os.environ.get("BENCH_KV_BF16")
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal(int(AUDIO_SECONDS * SAMPLE_RATE)),
                       jnp.float32)
@@ -76,7 +77,6 @@ def main() -> None:
         step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
         opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN, min_len=TEXT_MAX_LEN - 8,
                                  pad_idx=0, unk_idx=1, eos_idx=3)
-        kv_int8 = not os.environ.get("BENCH_KV_BF16")
         res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8), prefix,
                           jnp.array([2], jnp.int32), opts, V, src_to_step=True)
         tokens = res.tokens[:, 0]
@@ -120,7 +120,7 @@ def main() -> None:
              "decode_cap": f"reference min(S+200,1024)={TEXT_MAX_LEN} steps, "
                            "min_len forces all steps",
              "weights": "int8" if quantized else "bf16",
-             "kv_cache": "int8",
+             "kv_cache": "int8" if kv_int8 else "bf16",
              "platform": str(jax.devices()[0]).strip()}
 
     # secondary batch-8 S2TT throughput (BASELINE.json config 2) — opt-in: its

@@ -31,7 +31,9 @@ def main() -> None:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="0 = all devices")
     parser.add_argument("--model_parallel", type=int, default=1)
-    parser.add_argument("--freeze_text_encoder", action="store_true", default=True)
+    parser.add_argument("--freeze_text_encoder", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="--no-freeze_text_encoder unfreezes it")
     parser.add_argument("--freeze_speech_encoder", action="store_true")
     parser.add_argument("--local_hf_path", type=str, default=None)
     parser.add_argument("--remat", action="store_true",

@@ -58,10 +58,23 @@ class SequenceGeneratorOptions:
     unk_penalty: float = 0.0
     step_processor: Optional[object] = None  # (banned seqs array, lens) tuple
     no_repeat_ngram_size: Optional[int] = None  # NGramRepeatBlockProcessor
+    kv_cache_int8: Optional[bool] = None  # None: int8 KV on TPU (the benched
+                                          # serving config; error bounded in
+                                          # tests/unit/test_quantization.py),
+                                          # fp KV elsewhere
 
 
 def _bucket(n: int, step: int = 64) -> int:
     return max(step, int(math.ceil(n / step)) * step)
+
+
+def _resolve_kv_int8(opts: SequenceGeneratorOptions) -> bool:
+    if opts.kv_cache_int8 is not None:
+        return opts.kv_cache_int8
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class UnitYGenerator:
@@ -124,7 +137,7 @@ class UnitYGenerator:
                 if self.text_opts.no_repeat_ngram_size:
                     procs.append(make_ngram_repeat_block(
                         self.text_opts.no_repeat_ngram_size, V))
-                cache = cache_fn(max_len)
+                cache = cache_fn(max_len, _resolve_kv_int8(self.text_opts))
                 # src_to_step fuses the beam reorder into the decode step's
                 # cache pass (ops/transformer.py beam_src) — token-identical,
                 # ~1.4 ms/step faster on v2-large
@@ -179,7 +192,8 @@ class UnitYGenerator:
                 enc, mask = ar_t2u_encode(params["t2u"], tcfg, feats, lens)
                 enc_bk = jnp.repeat(enc, K, axis=0)
                 mask_bk = jnp.repeat(mask, K, axis=0)
-                cache = ar_t2u_cache(params["t2u"], tcfg, enc_bk, max_len)
+                cache = ar_t2u_cache(params["t2u"], tcfg, enc_bk, max_len,
+                                     _resolve_kv_int8(self.unit_opts))
 
                 def step_fn(tok_t, cache, step, beam_src=None):
                     return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,

@@ -355,6 +355,7 @@ def ar_t2u_decoder_step(params: dict, tok_t: jax.Array, cache, step, cfg: ArT2UC
     return tied_projection(params["embed"], h)[:, 0], cache
 
 
-def ar_t2u_cache(params: dict, cfg: ArT2UConfig, enc_out: jax.Array, max_len: int):
+def ar_t2u_cache(params: dict, cfg: ArT2UConfig, enc_out: jax.Array, max_len: int,
+                 kv_int8: bool = False):
     return decoder_cache_init(params["decoder"], cfg.dec_cfg(), enc_out, max_len,
-                              per_layer=True)
+                              per_layer=True, kv_int8=kv_int8)

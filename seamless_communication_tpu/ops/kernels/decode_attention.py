@@ -104,7 +104,9 @@ def _kernel(step_ref, src_ref, q_ref, kt_ref, vt_ref, kc_ref, vc_ref,
                             preferred_element_type=jnp.float32)
         for h in range(H)], axis=0)                                   # (H, T)
     logits = logits * ks / math.sqrt(dh)
-    lcur = jnp.sum((q * kt_ref[0]).astype(jnp.float32), axis=-1) / math.sqrt(dh)
+    # f32 products == the MXU's exact bf16xbf16->f32 semantics of the XLA
+    # path's preferred_element_type=f32 einsum (bf16 values are exact in f32)
+    lcur = jnp.sum(q.astype(jnp.float32) * ktf, axis=-1) / math.sqrt(dh)
 
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (H, T), 1)
     valid = t_iota < step
@@ -123,8 +125,11 @@ def _kernel(step_ref, src_ref, q_ref, kt_ref, vt_ref, kc_ref, vc_ref,
     out = (out + pc[:, None] * vtf) / den[:, None]
     out_ref[0] = out.astype(dtype)
 
-    # one-pass write-back: gathered block with the new row selected in
-    # (3D iota, not reshape: Mosaic can't insert minor dims on 8-bit vectors)
+    # one-pass write-back: gathered block with the new row selected in.
+    # Mosaic can't reshape/minor-insert 8-bit vectors or prove alignment for
+    # a dynamic single-row store, so the select is staged through f32 (the
+    # wrapper's VMEM guard accounts for the staging and falls back to the XLA
+    # path for long caches).
     is_cur = t_iota == step
     is_cur3 = jax.lax.broadcasted_iota(jnp.int32, kc.shape, 1) == step
     nkc_ref[0] = jnp.where(is_cur3, k8f[:, None, :],
@@ -211,6 +216,14 @@ def fused_decode_self_attention_int8(q, k_t, v_t, k_cache, v_cache,
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and os.environ.get("SEAMLESS_PALLAS_DECODE") != "0")
+    if use_pallas:
+        # per-program VMEM: in+out int8 KV blocks, their f32 select staging,
+        # and f32 scales, double-buffered by the pipeline; stay well under
+        # the ~16 MB budget (v2-large T=262 uses ~6 MB; T>=512 falls back)
+        B, H, T, Dh = k_cache.shape
+        block_bytes = H * T * Dh * (2 + 2 + 8) + 4 * H * T * 4
+        if 2 * block_bytes > 12 * 1024 * 1024:
+            use_pallas = False
     if not use_pallas:
         return _reference(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
                           step, src)

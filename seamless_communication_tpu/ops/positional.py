@@ -43,8 +43,8 @@ def padded_position_ids(ids: jax.Array, padding_idx: int, *, past_length: int = 
 
 
 def apply_sinusoidal_pos(x: jax.Array, *, padding_mask: Optional[jax.Array] = None,
-                         padding_idx: int = 1, start_step: int | jax.Array = 0,
-                         max_len: Optional[int] = None) -> jax.Array:
+                         padding_idx: int = 1, start_step: int | jax.Array = 0
+                         ) -> jax.Array:
     """Add sinusoidal positions to (B, T, D) embeddings.
 
     Positions are fairseq-convention: ``padding_idx + 1 + t`` for valid step ``t``

@@ -456,37 +456,18 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                 qh, kh, vh, sk[i], sv[i], sks[i], svs[i], step, beam_src,
                 use_pallas=True)
             y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
-            h = h + y
-            z = layer_norm(lp["cross_attn_layer_norm"], h)
-            h = h + attn_ops.cross_attention_step_int8(
-                lp["cross_attn"], z, attn_ops.Int8KVCache(
-                    cache.cross_k[i], cache.cross_v[i],
-                    cache.cross_k_scale[i], cache.cross_v_scale[i]),
-                cfg.num_heads, bias=cross_bias)
-            z = layer_norm(lp["ffn"]["layer_norm"], h)
-            z = _act(cfg.activation)(linear(lp["ffn"]["inner_proj"], z))
-            h = h + linear(lp["ffn"]["output_proj"], z)
-            continue
-        if beam_src is not None:
-            # fused reorder: gathered history feeds both the attention read
-            # and (with the new row selected in) the cache write — one pass
-            ski, svi = sk[i][beam_src], sv[i][beam_src]
-            if int8:
+        elif int8:
+            if beam_src is not None:
+                # fused reorder: the gathered history feeds both the attention
+                # read and (with the new row selected in) the cache write
+                ski, svi = sk[i][beam_src], sv[i][beam_src]
                 sksi, svsi = sks[i][beam_src], svs[i][beam_src]
-        else:
-            ski, svi = sk[i], sv[i]
-            if int8:
-                sksi, svsi = sks[i], svs[i]
-        if int8:
+            else:
+                ski, svi, sksi, svsi = sk[i], sv[i], sks[i], svs[i]
             y, kq, ks, vq, vs = attn_ops.self_attention_step_nocache_int8(
                 lp["self_attn"], z, ski, svi, sksi, svsi, step,
                 cfg.num_heads)
-            if beam_src is not None and os.environ.get("SEAMLESS_BEAMSRC_DUS"):
-                sk[i] = jax.lax.dynamic_update_slice(ski, kq, (0, 0, step, 0))
-                sv[i] = jax.lax.dynamic_update_slice(svi, vq, (0, 0, step, 0))
-                sks[i] = jax.lax.dynamic_update_slice(sksi, ks, (0, 0, step))
-                svs[i] = jax.lax.dynamic_update_slice(svsi, vs, (0, 0, step))
-            elif beam_src is not None:
+            if beam_src is not None:
                 sk[i] = jnp.where(pos_is_step, kq, ski)
                 sv[i] = jnp.where(pos_is_step, vq, svi)
                 sks[i] = jnp.where(pos_is_step[..., 0], ks, sksi)
@@ -496,10 +477,11 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                 sv[i] = jax.lax.dynamic_update_slice(svi, vq, (0, 0, step, 0))
                 sks[i] = jax.lax.dynamic_update_slice(sksi, ks, (0, 0, step))
                 svs[i] = jax.lax.dynamic_update_slice(svsi, vs, (0, 0, step))
-            cross_kv = attn_ops.Int8KVCache(
-                cache.cross_k[i], cache.cross_v[i],
-                cache.cross_k_scale[i], cache.cross_v_scale[i])
         else:
+            if beam_src is not None:
+                ski, svi = sk[i][beam_src], sv[i][beam_src]
+            else:
+                ski, svi = sk[i], sv[i]
             y, k_t, v_t = attn_ops.self_attention_step_nocache(
                 lp["self_attn"], z, ski, svi, step, cfg.num_heads)
             if beam_src is not None:
@@ -510,13 +492,16 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                     ski, k_t.astype(ski.dtype), (0, 0, step, 0))
                 sv[i] = jax.lax.dynamic_update_slice(
                     svi, v_t.astype(svi.dtype), (0, 0, step, 0))
-            cross_kv = KVCache(cache.cross_k[i], cache.cross_v[i])
         h = h + y
         z = layer_norm(lp["cross_attn_layer_norm"], h)
         if int8:
+            cross_kv = attn_ops.Int8KVCache(
+                cache.cross_k[i], cache.cross_v[i],
+                cache.cross_k_scale[i], cache.cross_v_scale[i])
             h = h + attn_ops.cross_attention_step_int8(
                 lp["cross_attn"], z, cross_kv, cfg.num_heads, bias=cross_bias)
         else:
+            cross_kv = KVCache(cache.cross_k[i], cache.cross_v[i])
             h = h + attn_ops.cross_attention_step(
                 lp["cross_attn"], z, cross_kv, cfg.num_heads, bias=cross_bias)
         z = layer_norm(lp["ffn"]["layer_norm"], h)
@@ -542,7 +527,7 @@ def embedding_frontend(embed_params: dict, ids: jax.Array, cfg: TransformerConfi
     convention: positions offset by pad_idx + 1)."""
     x = embedding(embed_params, ids, scale=cfg.dim ** 0.5)
     x = apply_sinusoidal_pos(x, padding_mask=padding_mask, padding_idx=cfg.pad_idx,
-                             start_step=start_step, max_len=cfg.max_seq_len)
+                             start_step=start_step)
     if ln_params is not None:
         x = layer_norm(ln_params, x)
     return x

@@ -195,3 +195,48 @@ def test_beam_reorders_real_decoder_cache():
                               np.asarray(broken.scores), atol=1e-6)
     assert not (same_tokens and same_scores), \
         "no-op cache reorder produced identical output; test has no power"
+
+
+def test_src_to_step_stacked_cache_matches_classic():
+    """The stacked-cache src_to_step variant (_decoder_step_scan_src — the
+    fast-compile fallback documented in docs/performance.md) must produce the
+    same tokens/scores as the classic reorder and the per-layer path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.nllb.model import text_decoder_cache
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.ops.beam_search import (
+        BeamSearchOptions, beam_search,
+    )
+    from seamless_communication_tpu.ops.transformer import (
+        decoder_cache_beam_reorder,
+    )
+
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    K, V = 3, cfg.nllb.vocab_size
+    rng = np.random.default_rng(0)
+    enc = unity.EncoderOutput(
+        jnp.asarray(rng.standard_normal((2 * K, 9, cfg.nllb.dim)), jnp.float32),
+        jnp.full((2 * K,), 9, jnp.int32))
+    step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc)
+    prefix = jnp.array([[2, 5], [2, 6]], jnp.int32)
+    opts = BeamSearchOptions(beam_size=K, max_len=14, min_len=3,
+                             pad_idx=0, unk_idx=1, eos_idx=3)
+    for int8 in (False, True):
+        classic = beam_search(step_fn, cache_fn(14, int8), prefix,
+                              jnp.array([2, 2], jnp.int32), opts, V,
+                              cache_reorder=decoder_cache_beam_reorder)
+        stacked = text_decoder_cache(params["text_decoder"], cfg.nllb,
+                                     enc.seqs, 14, kv_int8=int8,
+                                     per_layer=False)
+        scan_src = beam_search(step_fn, stacked, prefix,
+                               jnp.array([2, 2], jnp.int32), opts, V,
+                               src_to_step=True)
+        assert np.array_equal(np.asarray(classic.tokens),
+                              np.asarray(scan_src.tokens))
+        np.testing.assert_allclose(np.asarray(classic.scores),
+                                   np.asarray(scan_src.scores), rtol=1e-5)
