@@ -183,6 +183,7 @@ def _pallas_call(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
             pl.BlockSpec((1, H, T), out_idx3),
         ],
     )
+    kv_bytes = B * H * T * Dh
     return pl.pallas_call(
         functools.partial(_kernel, dh=Dh),
         grid_spec=grid_spec,
@@ -193,6 +194,13 @@ def _pallas_call(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
             jax.ShapeDtypeStruct((B, H, T), jnp.float32),
             jax.ShapeDtypeStruct((B, H, T), jnp.float32),
         ],
+        # accurate costs let XLA's scheduler overlap the next layer's weight
+        # streaming with this kernel instead of treating it as opaque
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * Dh,
+            bytes_accessed=4 * kv_bytes + 4 * B * H * T * 8,
+            transcendentals=B * H * T,
+        ),
         interpret=interpret,
     )(step_arr, src, q, k_t, v_t, k_cache, v_cache, k_scale, v_scale)
 
