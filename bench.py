@@ -217,6 +217,50 @@ def main() -> None:
         extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
         extra["train_medium_audio_s_per_s"] = round(tb * AUDIO_SECONDS / dt, 2)
 
+    # opt-in streaming latency: production dims (chunked streaming encoder +
+    # dense_1b EMMA monotonic decoder), warm ms per 320 ms chunk and xRT
+    if os.environ.get("BENCH_STREAM"):
+        from seamless_communication_tpu.models.monotonic.model import (
+            MonotonicDecoderConfig, monotonic_decoder_init,
+        )
+        from seamless_communication_tpu.streaming.pipeline import (
+            StreamingSession, build_s2t_pipeline,
+        )
+        from seamless_communication_tpu.text.nllb import NllbTokenizer
+        from seamless_communication_tpu.text.spm import (
+            SentencePieceModel, build_spm_model, TYPE_CONTROL, TYPE_NORMAL,
+            TYPE_UNKNOWN,
+        )
+
+        base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+                ("</s>", 0.0, TYPE_CONTROL)]
+        words = ["▁the", "▁a", "▁и", ".", ","] + ["▁"] + list("abcdef")
+        tok = NllbTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+            base + [(w, -2.0, TYPE_NORMAL) for w in words])), langs=["__eng__"])
+        scfg = get_arch("streaming")
+        sparams = unity.unity_init(jax.random.PRNGKey(4), scfg, dtype=dtype)
+        mono_cfg = MonotonicDecoderConfig()
+        mono_params = monotonic_decoder_init(jax.random.PRNGKey(5), mono_cfg,
+                                             dtype=dtype)
+        swav = np.asarray(rng.standard_normal(160000), np.float32) * 0.1
+
+        pipe = build_s2t_pipeline(sparams, scfg, mono_params, mono_cfg,
+                                  tok, tgt_lang="eng")
+        n_chunks = -(-len(swav) // int(0.320 * 16000))
+
+        def stream_once():
+            t0 = time.time()
+            # StreamingSession resets the (reused) pipeline; executables stay
+            for _ in StreamingSession(pipe, segment_size_ms=320,
+                                      tgt_lang="eng").run(swav):
+                pass
+            return time.time() - t0
+
+        stream_once()                    # cold (compiles)
+        wall = stream_once()             # warm
+        extra["stream_ms_per_chunk"] = round(wall / n_chunks * 1000, 1)
+        extra["stream_xrt"] = round(wall / 10.0, 3)
+
     print(json.dumps({
         "metric": "s2st_rtf_v2_large_10s_worstcase",
         "value": round(rtf, 5),
