@@ -171,11 +171,14 @@ def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
     x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
     cross_bias = padding_bias(enc_padding_mask)
 
+    # read-only cache scan + ONE dynamic-update-slice per step: threading the
+    # full cache through scan outputs copies it every step (same fix as
+    # ops/transformer.py transformer_decoder_step / docs/performance.md)
     def body(h, scanned):
         layer_p, sk, sv, ck, cv = scanned
         z = layer_norm(layer_p["self_attn_layer_norm"], h)
-        y, new_kv = attn_ops.self_attention_step(layer_p["self_attn"], z,
-                                                 KVCache(sk, sv), step, cfg.num_heads)
+        y, k_t, v_t = attn_ops.self_attention_step_nocache(
+            layer_p["self_attn"], z, sk, sv, step, cfg.num_heads)
         h = h + y
         z = layer_norm(layer_p["cross_attn_layer_norm"], h)
         pc = p_choose(layer_p["p_choose"], z, cache.pooled_keys, cfg)  # (B,H,1,Sp)
@@ -185,9 +188,9 @@ def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
         z = layer_norm(layer_p["ffn"]["layer_norm"], h)
         z = jax.nn.relu(linear(layer_p["ffn"]["inner_proj"], z))
         h = h + linear(layer_p["ffn"]["output_proj"], z)
-        return h, (new_kv.k, new_kv.v, pc[:, :, 0, :])
+        return h, (k_t.astype(sk.dtype), v_t.astype(sv.dtype), pc[:, :, 0, :])
 
-    out, (nk, nv, pcs) = jax.lax.scan(
+    out, (rk, rv, pcs) = jax.lax.scan(
         body, x, (params["layers"], cache.self_k, cache.self_v,
                   cache.cross_k, cache.cross_v))
     out = layer_norm(params["layer_norm"], out)
@@ -195,6 +198,8 @@ def monotonic_decode_step(params: dict, tok_t: jax.Array, cache: MonotonicCache,
     # (L, B, H, Sp) -> (B, L*H, Sp)
     L, B, H, Sp = pcs.shape
     pcs = pcs.transpose(1, 0, 2, 3).reshape(B, L * H, Sp)
+    nk = jax.lax.dynamic_update_slice(cache.self_k, rk, (0, 0, 0, step, 0))
+    nv = jax.lax.dynamic_update_slice(cache.self_v, rv, (0, 0, 0, step, 0))
     new_cache = MonotonicCache(nk, nv, cache.cross_k, cache.cross_v, cache.pooled_keys)
     return logits, out, pcs, new_cache
 
@@ -300,10 +305,12 @@ def monotonic_prefill(params: dict, tokens: jax.Array, n_tokens: jax.Array,
         logits, feat, pcs, new_cache = monotonic_decode_step(
             params, tok_t, cache, idx, cfg, enc_padding_mask=enc_padding_mask)
         valid = idx < n_tokens
-        new_cache = MonotonicCache(
-            jnp.where(valid, new_cache.self_k, cache.self_k),
-            jnp.where(valid, new_cache.self_v, cache.self_v),
-            cache.cross_k, cache.cross_v, cache.pooled_keys)
+        # rows written by invalid steps (idx >= n_tokens) land at position idx
+        # and are always overwritten before any valid read: the write burst
+        # continues sequentially from start_step = n_tokens, writing row s
+        # before any step > s reads it. Masking the cache write itself would
+        # cost a full-cache select per prefill step (the dominant prefill
+        # cost, cf. docs/performance.md on decode-path cache copies).
         logits = jnp.where(valid, logits, old_logits)
         pcs = jnp.where(valid, pcs, old_pcs)
         return (new_cache, logits, pcs), feat[:, 0]
