@@ -83,3 +83,17 @@ def test_label_smoothed_loss_ignores_pad():
     assert int(n) == 2
     # uniform logits: loss per token = log(8) regardless of smoothing
     assert float(loss) == pytest.approx(2 * np.log(8), rel=1e-5)
+
+
+def test_kv_cache_int8_resolution():
+    """SequenceGeneratorOptions.kv_cache_int8=None resolves per-backend (int8
+    on TPU — the benched serving config — fp elsewhere); explicit values win."""
+    from seamless_communication_tpu.inference.generator import (
+        SequenceGeneratorOptions, _resolve_kv_int8,
+    )
+    import jax
+
+    assert _resolve_kv_int8(SequenceGeneratorOptions(kv_cache_int8=True)) is True
+    assert _resolve_kv_int8(SequenceGeneratorOptions(kv_cache_int8=False)) is False
+    auto = _resolve_kv_int8(SequenceGeneratorOptions())
+    assert auto == (jax.default_backend() == "tpu")
