@@ -110,7 +110,8 @@ class ExpressiveDemo:
         texts, speech = self.translator.predict(
             wav, "s2st", _code(target_language),
             src_lang=_code(source_language),
-            duration_factor=duration_factor)
+            duration_factor=duration_factor,
+            prosody_encoder_input=gcmvn)
         wavs = self.generator.predict(
             speech.units, _code(target_language), gcmvn[None],
             np.array([gcmvn.shape[0]]), duration_factor=duration_factor)

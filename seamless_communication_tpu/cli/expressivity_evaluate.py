@@ -63,7 +63,8 @@ def main() -> None:
             fbank = fbank_numpy(wav)
             gcmvn = ((fbank - gcmvn_mean[None]) / gcmvn_std[None]).astype(np.float32)
             texts, speech = translator.predict(
-                wav, "s2st", args.tgt_lang, duration_factor=args.duration_factor)
+                wav, "s2st", args.tgt_lang, duration_factor=args.duration_factor,
+                prosody_encoder_input=gcmvn)
             wavs = generator.predict(speech.units, args.tgt_lang, gcmvn[None],
                                      np.array([gcmvn.shape[0]]),
                                      duration_factor=args.duration_factor)

@@ -58,7 +58,8 @@ def main() -> None:
     gcmvn = ((fbank - gcmvn_mean[None]) / gcmvn_std[None]).astype(np.float32)
 
     texts, speech = translator.predict(wav, "s2st", args.tgt_lang,
-                                       duration_factor=args.duration_factor)
+                                       duration_factor=args.duration_factor,
+                                       prosody_encoder_input=gcmvn)
     logger.info("Translated text: %s", texts[0])
     wavs = generator.predict(speech.units, args.tgt_lang, gcmvn[None],
                              np.array([gcmvn.shape[0]]),

@@ -159,7 +159,9 @@ class Translator:
                 text_generation_opts: Optional[SequenceGeneratorOptions] = None,
                 banned_sequences: Optional[tuple] = None,
                 ngram_filtering: bool = False,
-                max_unit_len: int = 2048):
+                max_unit_len: int = 2048,
+                prosody_encoder_input: Optional[np.ndarray] = None,
+                prosody_input_lens: Optional[np.ndarray] = None):
         """Returns (texts: List[str], BatchedSpeechOutput | None)
         (reference translator.py:215-428)."""
         in_mod, out_mod = get_modalities_from_task_str(task_str)
@@ -200,9 +202,20 @@ class Translator:
         if out_mod is Modality.TEXT:
             return texts_out, None
 
+        # expressive models: gcmvn-normalized source fbank conditions the T2U
+        # prosody projection + FiLM (reference translator.py:171,332)
+        pf = pl = None
+        if prosody_encoder_input is not None:
+            pf = np.asarray(prosody_encoder_input, np.float32)
+            if pf.ndim == 2:
+                pf = pf[None]
+            pl = (np.asarray(prosody_input_lens, np.int32)
+                  if prosody_input_lens is not None
+                  else np.full((pf.shape[0],), pf.shape[1], np.int32))
         units = self.generator.generate_units(
             tokens, tok_lens, enc, tgt_lang, duration_factor=duration_factor,
-            max_unit_len=max_unit_len, ngram_filtering=ngram_filtering)
+            max_unit_len=max_unit_len, ngram_filtering=ngram_filtering,
+            prosody_fbank=pf, prosody_lens=pl)
 
         audio_wavs: List[np.ndarray] = []
         if self.vocoder_params is not None:

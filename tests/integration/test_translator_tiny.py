@@ -7,7 +7,7 @@ import pytest
 
 
 from seamless_communication_tpu.inference.translator import (
-    BatchedSpeechOutput, get_modalities_from_task_str, Modality,
+    BatchedSpeechOutput, Translator, get_modalities_from_task_str, Modality,
 )
 
 
@@ -47,3 +47,57 @@ def test_t2st_full_pipeline(translator):
         # 320x-equivalent upsample for the tiny vocoder (4*2=8)
         assert speech.audio_wavs[0].size == 8 * len(speech.units[0]) or \
             speech.audio_wavs[0].size >= 0
+
+
+def test_prosody_encoder_input_conditions_t2u():
+    """Translator.predict(prosody_encoder_input=...) must thread the gcmvn
+    fbank into the expressive T2U (prosody projection + FiLM) — reference
+    translator.py:171,332. Different prosody inputs must change the generated
+    units; omitting it must not crash non-expressive flows (covered above)."""
+    import jax
+
+    from seamless_communication_tpu.inference.generator import (
+        SequenceGeneratorOptions,
+    )
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.models.unity.unit_tokenizer import (
+        UnitTokenizer,
+    )
+    from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+    from seamless_communication_tpu.text.nllb import NllbTokenizer
+    from seamless_communication_tpu.text.spm import (
+        SentencePieceModel, build_spm_model, TYPE_CONTROL, TYPE_NORMAL,
+        TYPE_UNKNOWN,
+    )
+
+    cfg = get_arch("tiny_expressive")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    assert "prosody_encoder" in params
+
+    base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+            ("</s>", 0.0, TYPE_CONTROL)]
+    words = ["▁the", "▁cat", "▁sat", "."]
+    chars = ["▁"] + list("thecas.")
+    text_tok = NllbTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+        base + [(w, -2.0, TYPE_NORMAL) for w in words]
+        + [(c, -30.0, TYPE_NORMAL) for c in chars])),
+        langs=["__eng__", "__fra__"])
+    char_tok = CharTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+        base + [(c, -1.0, TYPE_NORMAL) for c in chars])))
+    unit_tok = UnitTokenizer(100, ["eng", "fra"], "base_v2")
+
+    tr = Translator(params, cfg, text_tok, unit_tok, char_tok,
+                    text_opts=SequenceGeneratorOptions(
+                        beam_size=2, soft_max_seq_len=(0, 12),
+                        hard_max_seq_len=12))
+    rng = np.random.default_rng(0)
+    pf1 = rng.standard_normal((24, 80)).astype(np.float32)
+    pf2 = (rng.standard_normal((24, 80)) * 5 + 3).astype(np.float32)
+    _, sp1 = tr.predict("the cat sat", "t2st", "fra", src_lang="eng",
+                        max_unit_len=128, prosody_encoder_input=pf1)
+    _, sp2 = tr.predict("the cat sat", "t2st", "fra", src_lang="eng",
+                        max_unit_len=128, prosody_encoder_input=pf2)
+    # conditioning participates: radically different prosody changes units
+    # (random init; equality would mean the input was dropped)
+    assert sp1.units[0] != sp2.units[0]
