@@ -39,6 +39,12 @@ def add_inference_arguments(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--spkr", type=int, default=-1)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight-only quantization for faster decode")
+    parser.add_argument("--apply_mintox", action="store_true",
+                        help="MinTox added-toxicity mitigation (requires "
+                             "--etox_dataset)")
+    parser.add_argument("--etox_dataset", type=str, default=None,
+                        help="local nllb-200_twl.zip (or extracted dir); URL "
+                             "in cards/mintox.yaml")
     return parser
 
 
@@ -80,10 +86,17 @@ def main() -> None:
         no_repeat_ngram_size=(args.no_repeat_ngram_size
                               if args.unit_generation_ngram_blocking else None))
 
+    checker = None
+    if args.apply_mintox:
+        if not args.etox_dataset:
+            parser.error("--apply_mintox requires --etox_dataset")
+        from seamless_communication_tpu.toxicity.etox import load_etox_checker
+        checker = load_etox_checker(args.etox_dataset)
     translator = Translator(params, cfg, text_tok, unit_tok, char_tok,
                             vocoder_params=voc_params, vocoder_cfg=voc_cfg,
                             lang_spkr_idx_map=idx_map, text_opts=opts,
-                            unit_opts=unit_opts)
+                            unit_opts=unit_opts, apply_mintox=args.apply_mintox,
+                            etox_checker=checker)
     texts, speech = translator.predict(
         args.input, args.task, args.tgt_lang, src_lang=args.src_lang,
         duration_factor=args.duration_factor, spkr=args.spkr,

@@ -91,7 +91,9 @@ class Translator:
                  text_opts: Optional[SequenceGeneratorOptions] = None,
                  unit_opts: Optional[SequenceGeneratorOptions] = None,
                  fbank_cfg: FbankConfig = FbankConfig(),
-                 normalize_fbank: str = "utterance"):
+                 normalize_fbank: str = "utterance",
+                 apply_mintox: bool = False,
+                 etox_checker=None):
         self.cfg = cfg
         self.params = params
         self.text_tokenizer = text_tokenizer
@@ -100,6 +102,14 @@ class Translator:
         self.lang_spkr_idx_map = lang_spkr_idx_map or {}
         self.fbank_cfg = fbank_cfg
         self.normalize_fbank = normalize_fbank
+        # MinTox toxicity mitigation (reference translator.py:128,262-315):
+        # detect added toxicity vs the source, re-generate offending items
+        # with the banned-sequence processor inside the compiled beam
+        self.apply_mintox = apply_mintox
+        self.etox_checker = etox_checker
+        if apply_mintox and etox_checker is None:
+            raise ValueError("apply_mintox=True requires an etox_checker "
+                             "(toxicity.etox.ETOXBadWordChecker)")
         self.generator = UnitYGenerator(params, cfg, text_tokenizer, unit_tokenizer,
                                         char_tokenizer, text_opts, unit_opts)
 
@@ -161,7 +171,9 @@ class Translator:
                 ngram_filtering: bool = False,
                 max_unit_len: int = 2048,
                 prosody_encoder_input: Optional[np.ndarray] = None,
-                prosody_input_lens: Optional[np.ndarray] = None):
+                prosody_input_lens: Optional[np.ndarray] = None,
+                src_text: Optional[str] = None,
+                _apply_mintox: Optional[bool] = None):
         """Returns (texts: List[str], BatchedSpeechOutput | None)
         (reference translator.py:215-428)."""
         in_mod, out_mod = get_modalities_from_task_str(task_str)
@@ -199,7 +211,14 @@ class Translator:
             seq = tokens[b, :tok_lens[b]]
             texts_out.append(self.text_tokenizer.decode(seq))
 
+        do_mintox = (self.apply_mintox if _apply_mintox is None
+                     else _apply_mintox)
         if out_mod is Modality.TEXT:
+            if do_mintox:
+                texts_out, _ = self._run_mintox(
+                    input, task_str, tgt_lang, src_lang, src_text, texts_out,
+                    None, sample_rate=sample_rate,
+                    banned_base=banned_sequences)
             return texts_out, None
 
         # expressive models: gcmvn-normalized source fbank conditions the T2U
@@ -217,10 +236,76 @@ class Translator:
             max_unit_len=max_unit_len, ngram_filtering=ngram_filtering,
             prosody_fbank=pf, prosody_lens=pl)
 
+        if do_mintox:
+            texts_out, units = self._run_mintox(
+                input, task_str, tgt_lang, src_lang, src_text, texts_out,
+                units, sample_rate=sample_rate, banned_base=banned_sequences,
+                duration_factor=duration_factor, max_unit_len=max_unit_len,
+                ngram_filtering=ngram_filtering,
+                prosody_encoder_input=prosody_encoder_input,
+                prosody_input_lens=prosody_input_lens)
+
         audio_wavs: List[np.ndarray] = []
         if self.vocoder_params is not None:
             audio_wavs = self.synthesize(units, tgt_lang, spkr=spkr)
         return texts_out, BatchedSpeechOutput(units=units, audio_wavs=audio_wavs)
+
+    # ---------------- MinTox (reference translator.py:262-315) -------------
+
+    def _run_mintox(self, input, task_str: str, tgt_lang: str,
+                    src_lang: Optional[str], src_text: Optional[str],
+                    texts_out, units, *, sample_rate: int, banned_base,
+                    **regen_kwargs):
+        """Detect added toxicity vs the source text and re-generate offending
+        items with the toxic words banned inside the compiled beam. Source
+        text comes from ``src_text``, the text input itself, or ASR."""
+        from seamless_communication_tpu.inference.translator import (
+            get_modalities_from_task_str,
+        )
+        from seamless_communication_tpu.toxicity.mintox import mintox_pipeline
+
+        in_mod, _ = get_modalities_from_task_str(task_str)
+        if src_text is not None:
+            src_texts = [str(src_text)] * len(texts_out)
+        elif in_mod is Modality.TEXT:
+            items = input if isinstance(input, (list, tuple)) else [input]
+            src_texts = [str(t) for t in items]
+        else:
+            if src_lang is None:
+                raise ValueError("`src_lang` must be specified when "
+                                 "`apply_mintox` is True (or pass src_text)")
+            src_texts, _ = self.predict(input, "asr", src_lang,
+                                        src_lang=src_lang,
+                                        sample_rate=sample_rate,
+                                        _apply_mintox=False)
+
+        def rerun(indices, banned):
+            # re-generate the whole batch with the bans active (bucketed jit
+            # programs are per batch size; CLIs run B=1), take the subset.
+            # banned is ((N,M) right-aligned int32 array, (N,) lengths) —
+            # merge with any caller-provided base bans
+            if banned_base is not None:
+                a1, l1 = banned
+                a0, l0 = banned_base
+                M = max(a0.shape[1], a1.shape[1])
+                pad = lambda a: np.pad(a, ((0, 0), (M - a.shape[1], 0)),
+                                       constant_values=-1)
+                banned = (np.concatenate([pad(np.asarray(a0)),
+                                          pad(np.asarray(a1))]),
+                          np.concatenate([np.asarray(l0), np.asarray(l1)]))
+            texts2, speech2 = self.predict(
+                input, task_str, tgt_lang, src_lang=src_lang,
+                sample_rate=sample_rate, banned_sequences=banned,
+                _apply_mintox=False, **regen_kwargs)
+            u2 = speech2.units if speech2 is not None else None
+            return ([texts2[i] for i in indices],
+                    [u2[i] for i in indices] if u2 is not None else None)
+
+        return mintox_pipeline(
+            checker=self.etox_checker, text_tokenizer=self.text_tokenizer,
+            src_texts=src_texts, original_texts=texts_out,
+            original_units=units, src_lang=src_lang or tgt_lang,
+            tgt_lang=tgt_lang, rerun_fn=rerun)
 
     # ---------------- vocoder ----------------
 

@@ -81,3 +81,38 @@ class ETOXBadWordChecker:
             return False
         return any(text_tokens[i:i + m] == word_tokens
                    for i in range(n - m + 1))
+
+
+def load_etox_checker(dataset_path: str, *,
+                      sp_model_path: Optional[str] = None
+                      ) -> ETOXBadWordChecker:
+    """Build a checker from a local copy of the NLLB toxicity word lists
+    (reference mintox.py `_load_toxicity_list`; the `nllb-200_twl.zip` layout:
+    one `<lang>_twl.txt` per language, or a directory of the same). The
+    dataset URL is in cards/mintox.yaml; this loader is offline-only."""
+    import zipfile
+    from pathlib import Path
+
+    word_lists: Dict[str, List[str]] = {}
+
+    def add(name: str, text: str):
+        stem = Path(name).stem
+        lang = stem.split("_twl")[0]
+        words = [w.strip() for w in text.splitlines() if w.strip()]
+        if words:
+            word_lists[lang] = words
+
+    p = Path(dataset_path)
+    if p.is_dir():
+        for f in sorted(p.glob("*twl*.txt")):
+            add(f.name, f.read_text(encoding="utf-8", errors="replace"))
+    else:
+        with zipfile.ZipFile(p) as z:
+            for name in z.namelist():
+                if name.endswith(".txt") and "twl" in name:
+                    add(name, z.read(name).decode("utf-8", "replace"))
+    sp = None
+    if sp_model_path:
+        from seamless_communication_tpu.text.spm import SentencePieceModel
+        sp = SentencePieceModel.from_file(sp_model_path)
+    return ETOXBadWordChecker.from_word_lists(word_lists, sp_model=sp)

@@ -101,3 +101,38 @@ def test_prosody_encoder_input_conditions_t2u():
     # conditioning participates: radically different prosody changes units
     # (random init; equality would mean the input was dropped)
     assert sp1.units[0] != sp2.units[0]
+
+
+
+def test_apply_mintox_reruns_with_bans(translator_tiny):
+    """Translator(apply_mintox=True) must run the ETOX check against the
+    source and re-generate with banned sequences when toxicity is flagged
+    (reference translator.py:262-315). A stub checker flags a fixed word so
+    the rerun path executes regardless of what the random model emits."""
+
+    class FlagEverything:
+        def extract_bad_words(self, src, tgt, src_lang, tgt_lang):
+            return ["cat"]          # "added toxicity" on every utterance
+
+    tr = translator_tiny
+    reran = {}
+
+    tr2 = Translator(
+        tr.params, tr.cfg, tr.text_tokenizer,
+        tr.generator.unit_tokenizer, tr.generator.char_tokenizer,
+        text_opts=tr.generator.text_opts,
+        apply_mintox=True, etox_checker=FlagEverything())
+
+    orig = tr2.generator.generate_text
+
+    def spy(enc, lang, banned=None):
+        if banned is not None:
+            reran["banned"] = banned
+        return orig(enc, lang, banned=banned)
+
+    tr2.generator.generate_text = spy
+    texts, speech = tr2.predict("the cat sat", "t2tt", "fra", src_lang="eng")
+    assert len(texts) == 1 and speech is None
+    # the mitigation re-generated with the flagged word banned in-beam
+    arr, lens = reran["banned"]
+    assert arr.shape[0] >= 1 and lens.shape[0] == arr.shape[0]

@@ -323,3 +323,15 @@ def test_aggregate_xplane_parses_wire_format(tmp_path):
 
     out = aggregate_xplane(str(path))
     assert out == [(1.5, 2, "%fusion.1"), (0.25, 1, "%copy.2")]
+
+
+def test_load_etox_checker_from_dir(tmp_path):
+    """Offline etox word-list loader (nllb-200_twl layout)."""
+    from seamless_communication_tpu.toxicity.etox import load_etox_checker
+
+    (tmp_path / "eng_twl.txt").write_text("badword\nawful phrase\n")
+    (tmp_path / "fra_twl.txt").write_text("mauvais\n")
+    checker = load_etox_checker(str(tmp_path))
+    assert checker.get_bad_words("a badword here", "eng") == ["badword"]
+    assert checker.get_bad_words("clean text", "eng") == []
+    assert "mauvais" in checker.bad_words["fra"]
