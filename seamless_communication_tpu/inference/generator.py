@@ -112,14 +112,16 @@ class UnitYGenerator:
                 lambda p, ids, lens: unity.encode_text(p, self.cfg, ids, lens))
         return self._jit_cache["enc_text"]
 
-    def _text_beam_fn(self, max_len: int, banned: Optional[tuple]):
+    def _text_beam_fn(self, max_len: int, banned: Optional[tuple],
+                      topts: SequenceGeneratorOptions):
         key = ("text_beam", max_len, banned is not None,
-               self.text_opts.no_repeat_ngram_size)
+               topts.beam_size, topts.len_penalty, topts.unk_penalty,
+               topts.no_repeat_ngram_size)
         if key not in self._jit_cache:
             opts = BeamSearchOptions(
-                beam_size=self.text_opts.beam_size, max_len=max_len,
-                len_penalty=self.text_opts.len_penalty,
-                unk_penalty=self.text_opts.unk_penalty,
+                beam_size=topts.beam_size, max_len=max_len,
+                len_penalty=topts.len_penalty,
+                unk_penalty=topts.unk_penalty,
                 pad_idx=self.cfg.nllb.pad_idx, unk_idx=self.cfg.nllb.unk_idx,
                 eos_idx=self.cfg.nllb.eos_idx)
             V = self.cfg.nllb.vocab_size
@@ -134,10 +136,10 @@ class UnitYGenerator:
                 if banned_arr is not None:
                     procs.append(make_banned_sequence_processor(banned_arr,
                                                                 banned_lens, V))
-                if self.text_opts.no_repeat_ngram_size:
+                if topts.no_repeat_ngram_size:
                     procs.append(make_ngram_repeat_block(
-                        self.text_opts.no_repeat_ngram_size, V))
-                cache = cache_fn(max_len, _resolve_kv_int8(self.text_opts))
+                        topts.no_repeat_ngram_size, V))
+                cache = cache_fn(max_len, _resolve_kv_int8(topts))
                 # src_to_step fuses the beam reorder into the decode step's
                 # cache pass (ops/transformer.py beam_src) — token-identical,
                 # ~1.4 ms/step faster on v2-large
@@ -214,14 +216,18 @@ class UnitYGenerator:
 
     def generate_text(self, enc: "unity.EncoderOutput", tgt_lang: str, *,
                       src_len_hint: Optional[int] = None,
-                      banned: Optional[tuple] = None):
-        """Beam-search text tokens. Returns (tokens (B, T) np, lengths (B,) np)."""
-        a, b = self.text_opts.soft_max_seq_len
+                      banned: Optional[tuple] = None,
+                      opts_override: Optional[SequenceGeneratorOptions] = None):
+        """Beam-search text tokens. Returns (tokens (B, T) np, lengths (B,) np).
+        ``opts_override``: per-call generation options (reference predict's
+        text_generation_opts); compiled programs are cached per option set."""
+        topts = opts_override or self.text_opts
+        a, b = topts.soft_max_seq_len
         src = src_len_hint or int(enc.seqs.shape[1])
-        max_len = min(self.text_opts.hard_max_seq_len, a * src + b)
+        max_len = min(topts.hard_max_seq_len, a * src + b)
         max_len = _bucket(max_len)
         prefix = np.tile(self.text_tokenizer.target_prefix(tgt_lang), (enc.seqs.shape[0], 1))
-        run = self._text_beam_fn(max_len, banned)
+        run = self._text_beam_fn(max_len, banned, topts)
         banned_arr = jnp.asarray(banned[0]) if banned else None
         banned_lens = jnp.asarray(banned[1]) if banned else None
         res = run(self.params, enc.seqs, enc.lengths, jnp.asarray(prefix),

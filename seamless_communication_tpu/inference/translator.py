@@ -204,7 +204,8 @@ class Translator:
             src_lang or tgt_lang)
 
         tokens, tok_lens, scores = self.generator.generate_text(
-            enc, text_lang, banned=banned_sequences)
+            enc, text_lang, banned=banned_sequences,
+            opts_override=text_generation_opts)
 
         texts_out = []
         for b in range(tokens.shape[0]):

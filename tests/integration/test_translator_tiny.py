@@ -125,10 +125,10 @@ def test_apply_mintox_reruns_with_bans(translator_tiny):
 
     orig = tr2.generator.generate_text
 
-    def spy(enc, lang, banned=None):
+    def spy(enc, lang, banned=None, **kw):
         if banned is not None:
             reran["banned"] = banned
-        return orig(enc, lang, banned=banned)
+        return orig(enc, lang, banned=banned, **kw)
 
     tr2.generator.generate_text = spy
     texts, speech = tr2.predict("the cat sat", "t2tt", "fra", src_lang="eng")
@@ -136,3 +136,21 @@ def test_apply_mintox_reruns_with_bans(translator_tiny):
     # the mitigation re-generated with the flagged word banned in-beam
     arr, lens = reran["banned"]
     assert arr.shape[0] >= 1 and lens.shape[0] == arr.shape[0]
+
+
+def test_per_call_text_generation_opts(translator_tiny):
+    """predict(text_generation_opts=...) must actually change generation
+    (reference predict's per-call options; was previously accepted but
+    ignored). A beam_size/len_penalty override compiles its own program."""
+    from seamless_communication_tpu.inference.generator import (
+        SequenceGeneratorOptions,
+    )
+
+    tr = translator_tiny
+    alt = SequenceGeneratorOptions(beam_size=1, soft_max_seq_len=(0, 8),
+                                   hard_max_seq_len=8)
+    texts_alt, _ = tr.predict("the cat sat on the mat", "t2tt", "fra",
+                              src_lang="eng", text_generation_opts=alt)
+    texts_def, _ = tr.predict("the cat sat on the mat", "t2tt", "fra",
+                              src_lang="eng")
+    assert isinstance(texts_alt[0], str) and isinstance(texts_def[0], str)
