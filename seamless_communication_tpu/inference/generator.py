@@ -178,13 +178,16 @@ class UnitYGenerator:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
-    def _ar_t2u_fn(self, max_len: int):
-        key = ("ar_t2u", max_len)
+    def _ar_t2u_fn(self, max_len: int,
+                   uopts: Optional[SequenceGeneratorOptions] = None):
+        uopts = uopts or self.unit_opts
+        key = ("ar_t2u", max_len, uopts.beam_size, uopts.len_penalty,
+               uopts.no_repeat_ngram_size)
         if key not in self._jit_cache:
             tcfg = self.cfg.ar_t2u
             opts = BeamSearchOptions(
-                beam_size=self.unit_opts.beam_size, max_len=max_len,
-                len_penalty=self.unit_opts.len_penalty,
+                beam_size=uopts.beam_size, max_len=max_len,
+                len_penalty=uopts.len_penalty,
                 pad_idx=tcfg.pad_idx, unk_idx=tcfg.unk_idx, eos_idx=tcfg.eos_idx,
                 bos_idx=tcfg.bos_idx)
             V = tcfg.unit_vocab_size
@@ -203,9 +206,9 @@ class UnitYGenerator:
                                                beam_src=beam_src)
 
                 procs = []
-                if self.unit_opts.no_repeat_ngram_size:
+                if uopts.no_repeat_ngram_size:
                     procs.append(make_ngram_repeat_block(
-                        self.unit_opts.no_repeat_ngram_size, V))
+                        uopts.no_repeat_ngram_size, V))
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
                                    processors=procs, src_to_step=True)
 
@@ -242,7 +245,8 @@ class UnitYGenerator:
                        max_unit_len: int = 2048,
                        ngram_filtering: bool = False,
                        prosody_fbank: Optional[np.ndarray] = None,
-                       prosody_lens: Optional[np.ndarray] = None):
+                       prosody_lens: Optional[np.ndarray] = None,
+                       unit_opts_override: Optional[SequenceGeneratorOptions] = None):
         """Pass 2: re-decode text, run T2U, detokenize to raw units.
 
         ``prosody_fbank``: gcmvn-normalized source fbank for expressive models
@@ -275,7 +279,7 @@ class UnitYGenerator:
             prefix = np.tile(
                 np.array([[tcfg.eos_idx, self.unit_tokenizer.lang_to_index(tgt_lang)]],
                          np.int32), (text_tokens.shape[0], 1))
-            res = self._ar_t2u_fn(max_unit_len)(
+            res = self._ar_t2u_fn(max_unit_len, unit_opts_override)(
                 self.params, feats, jnp.asarray(text_lens), jnp.asarray(prefix),
                 jnp.full((prefix.shape[0],), 2, jnp.int32))
             units = np.asarray(res.tokens[:, 0])

@@ -173,6 +173,7 @@ class Translator:
                 prosody_encoder_input: Optional[np.ndarray] = None,
                 prosody_input_lens: Optional[np.ndarray] = None,
                 src_text: Optional[str] = None,
+                unit_generation_opts: Optional[SequenceGeneratorOptions] = None,
                 _apply_mintox: Optional[bool] = None):
         """Returns (texts: List[str], BatchedSpeechOutput | None)
         (reference translator.py:215-428)."""
@@ -235,7 +236,8 @@ class Translator:
         units = self.generator.generate_units(
             tokens, tok_lens, enc, tgt_lang, duration_factor=duration_factor,
             max_unit_len=max_unit_len, ngram_filtering=ngram_filtering,
-            prosody_fbank=pf, prosody_lens=pl)
+            prosody_fbank=pf, prosody_lens=pl,
+            unit_opts_override=unit_generation_opts)
 
         if do_mintox:
             texts_out, units = self._run_mintox(
