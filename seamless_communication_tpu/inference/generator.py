@@ -114,9 +114,10 @@ class UnitYGenerator:
 
     def _text_beam_fn(self, max_len: int, banned: Optional[tuple],
                       topts: SequenceGeneratorOptions):
+        kv_int8 = _resolve_kv_int8(topts)
         key = ("text_beam", max_len, banned is not None,
                topts.beam_size, topts.len_penalty, topts.unk_penalty,
-               topts.no_repeat_ngram_size)
+               topts.no_repeat_ngram_size, kv_int8)
         if key not in self._jit_cache:
             opts = BeamSearchOptions(
                 beam_size=topts.beam_size, max_len=max_len,
@@ -139,7 +140,7 @@ class UnitYGenerator:
                 if topts.no_repeat_ngram_size:
                     procs.append(make_ngram_repeat_block(
                         topts.no_repeat_ngram_size, V))
-                cache = cache_fn(max_len, _resolve_kv_int8(topts))
+                cache = cache_fn(max_len, kv_int8)
                 # src_to_step fuses the beam reorder into the decode step's
                 # cache pass (ops/transformer.py beam_src) — token-identical,
                 # ~1.4 ms/step faster on v2-large
@@ -181,8 +182,9 @@ class UnitYGenerator:
     def _ar_t2u_fn(self, max_len: int,
                    uopts: Optional[SequenceGeneratorOptions] = None):
         uopts = uopts or self.unit_opts
+        kv_int8 = _resolve_kv_int8(uopts)
         key = ("ar_t2u", max_len, uopts.beam_size, uopts.len_penalty,
-               uopts.no_repeat_ngram_size)
+               uopts.no_repeat_ngram_size, kv_int8)
         if key not in self._jit_cache:
             tcfg = self.cfg.ar_t2u
             opts = BeamSearchOptions(
@@ -198,7 +200,7 @@ class UnitYGenerator:
                 enc_bk = jnp.repeat(enc, K, axis=0)
                 mask_bk = jnp.repeat(mask, K, axis=0)
                 cache = ar_t2u_cache(params["t2u"], tcfg, enc_bk, max_len,
-                                     _resolve_kv_int8(self.unit_opts))
+                                     kv_int8)
 
                 def step_fn(tok_t, cache, step, beam_src=None):
                     return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,
@@ -261,6 +263,12 @@ class UnitYGenerator:
                 self.text_tokenizer, self.char_tokenizer,
                 np.asarray(text_tokens[:, :T]),
                 max_char_len=_bucket(int(text_lens.max()) * 12, 64))
+            if "prosody_encoder" in self.params and prosody_fbank is None:
+                # expressive models require conditioning input (reference
+                # generator.py:306 asserts prosody_encoder_input is not None)
+                raise ValueError(
+                    "expressive model (prosody_encoder present) requires "
+                    "prosody_fbank for unit generation")
             with_prosody = (prosody_fbank is not None
                             and "prosody_encoder" in self.params)
             pf = jnp.asarray(prosody_fbank) if with_prosody else \

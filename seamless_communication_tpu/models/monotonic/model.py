@@ -295,8 +295,12 @@ def monotonic_prefill(params: dict, tokens: jax.Array, n_tokens: jax.Array,
     dispatch dominates latency on remote-attached TPUs.
 
     Returns (last logits (B, V), features (B, T, D), last p_choose (B, L*H, Sp),
-    cache advanced by ``n_tokens`` steps; steps >= n_tokens still execute but a
-    masked cache write keeps them out of the KV state)."""
+    cache advanced by ``n_tokens`` steps. Steps >= n_tokens still execute and DO
+    write stale rows at positions >= n_tokens (masking the write would cost a
+    full-cache select per step); correctness relies on the overwrite-before-read
+    invariant: callers must resume decoding at exactly step = n_tokens, so row s
+    is rewritten before any step > s reads it (true for the B=1 write-burst
+    caller ``monotonic_write_burst``)."""
     B, T = tokens.shape
 
     def body(carry, idx):

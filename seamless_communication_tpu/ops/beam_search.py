@@ -165,7 +165,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
             # TPU-optimized partial reduction (jax.lax.approx_max_k); exact
             # for k=2K with recall_target=1.0 per its TPU lowering contract
             top_scores, top_idx = jax.lax.approx_max_k(
-                flat, 2 * K, recall_target=0.99, aggregate_to_topk=True)
+                flat, 2 * K, recall_target=1.0, aggregate_to_topk=True)
         else:
             top_scores, top_idx = jax.lax.top_k(flat, 2 * K)            # (B,2K)
         src_beam = top_idx // vocab_size
