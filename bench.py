@@ -58,7 +58,7 @@ def main() -> None:
     S_ENC = MAX_FRAMES // 2 // 8
     TEXT_MAX_LEN = min(S_ENC + 200, 1024)   # 262
     MAX_UNIT_LEN = 640
-    MAX_CHAR_LEN = 1088        # bucket(262 tokens x ~4 chars/piece)
+    MAX_CHAR_LEN = 1472        # bucket(262 tokens x ~5.5 chars/piece, synthetic vocab)
     BEAM = 5
 
     cfg = get_arch("base_v2")
@@ -68,22 +68,19 @@ def main() -> None:
     # tests/unit/test_quantization.py); BENCH_BF16=1 benches the fp path
     quantized = not os.environ.get("BENCH_BF16")
 
-    # one fused init+quantize program: leaf-by-leaf init dispatches hundreds of
-    # small RPCs through the axon tunnel (~3 min); a single jit is one dispatch
-    def init_all(key, vkey):
-        params = unity.unity_init(key, cfg, dtype=dtype)
-        if quantized:
-            from seamless_communication_tpu.ops.quantization import quantize_params
-            params = quantize_params(params)
-        voc_params = code_hifigan_init(vkey, CodeHifiGanConfig(), dtype=dtype)
-        return params, voc_params
-
+    # weight init is benched separately from compile: it is bench-only overhead
+    # (real serving loads converted checkpoints), dominated by per-leaf RPC
+    # dispatch through the axon tunnel
     t0 = time.time()
-    params, voc_params = jax.jit(init_all)(key, jax.random.PRNGKey(1))
+    params = unity.unity_init(key, cfg, dtype=dtype)
+    if quantized:
+        from seamless_communication_tpu.ops.quantization import quantize_params
+        params = quantize_params(params)
+    voc_cfg = CodeHifiGanConfig()
+    voc_params = code_hifigan_init(jax.random.PRNGKey(1), voc_cfg, dtype=dtype)
     jax.block_until_ready(params)
     jax.block_until_ready(voc_params)
     init_s = time.time() - t0
-    voc_cfg = CodeHifiGanConfig()
 
     # host char-frontend fixtures: a realistic synthetic piece vocabulary so the
     # timed path runs the REAL text->char host pass (text/char_frontend.py),

@@ -40,8 +40,10 @@ def streamable_conv(params: dict, x: jax.Array, *, stride: int = 1,
     if causal:
         pad = (total_pad, extra)
     else:
-        half = total_pad // 2
-        pad = (half, total_pad - half + extra)
+        # odd totals put the extra zero on the LEFT (reference streamable.py:
+        # 277-283: padding_right = total // 2; padding_left = total - right)
+        right = total_pad // 2
+        pad = (total_pad - right, right + extra)
     return conv1d(params, x, stride=stride, padding=pad, dilation=dilation)
 
 

@@ -194,6 +194,22 @@ def pretssel_forward(params: dict, cfg: PretsselConfig, units: jax.Array,
     x = layer_norm(params["decoder_norm"], x)
     mel = linear(params["final_proj"], x)                            # (B,T,80)
 
+    mel, wav = pretssel_wave_synth(params, cfg, mel, mmask,
+                                   normalize_before=normalize_before)
+    return PretsselOutput(wav, mel_total * cfg.hifigan.total_upsample, mel)
+
+
+def pretssel_wave_synth(params: dict, cfg: PretsselConfig, mel: jax.Array,
+                        mmask: jax.Array, *, normalize_before: bool = True):
+    """Post-mel half of the PRETSSEL vocoder (the composition the reference
+    interleaves through its flat layer list, generator/vocoder.py:476-573):
+
+      postnet residual -> gcmvn DEnormalize -> per-sample (x-mean)/scale ->
+      HiFi-GAN -> skip; SEANet(skip) -> 0.8*refined + tanh(skip)
+
+    Returns (gcmvn-denormalized mel, waveform). Composition order is pinned by
+    the from-spec torch oracle in tests/unit/test_pretssel_oracle.py.
+    """
     # postnet (conv + folded-BN affine + tanh except last, residual;
     # reference vocoder.py:365-385,508-513)
     pn = mel
@@ -207,15 +223,19 @@ def pretssel_forward(params: dict, cfg: PretsselConfig, units: jax.Array,
 
     # gcmvn denormalize + per-sample normalization
     mel = mel * params["gcmvn_std"][None, None] + params["gcmvn_mean"][None, None]
-    mel = mel * mmask[..., None].astype(mel.dtype)
     if normalize_before:
         mel_in = (mel - params["mean"]) / params["scale"]
     else:
         mel_in = mel
+    # zero padded frames AFTER the normalizations so the synth convs see the
+    # same zeros the reference's SAME padding injects at its (truncated) end
+    # (reference synthesizes per sample on length-truncated mel, vocoder.py:518)
+    mel = mel * mmask[..., None].astype(mel.dtype)
+    mel_in = mel_in * mmask[..., None].astype(mel_in.dtype)
 
     # waveform synthesis: HiFi-GAN skip + SEANet post-filter
     skip = hifigan_mod.hifigan_forward(params["hifigan"], mel_in, cfg.hifigan)
     refined = seanet_forward(params["seanet"], skip[..., None], cfg.seanet)[..., 0]
     T = min(skip.shape[1], refined.shape[1])
     wav = 0.8 * refined[:, :T] + jnp.tanh(skip[:, :T])
-    return PretsselOutput(wav, mel_total * cfg.hifigan.total_upsample, mel)
+    return mel, wav
