@@ -341,40 +341,44 @@ def apply_unity_fixups(sd: Dict[str, np.ndarray], *, is_nllb_100: bool,
 # fairseq2 paths -> this framework's pytree
 # ---------------------------------------------------------------------------
 
+def _conformer_layer_tree(sd: Mapping[str, np.ndarray], p: str) -> dict:
+    """One conformer block (ffn1 / self-attn (Shaw or XL) / conv module / ffn2)
+    at fairseq2-path prefix ``p``."""
+    sa = _mha(sd, f"{p}.self_attn")
+    if f"{p}.self_attn.sdpa.rel_k_embed.weight" in sd:
+        sa["rel_k_embed"] = _embed(sd, f"{p}.self_attn.sdpa.rel_k_embed")
+    if f"{p}.self_attn.sdpa.r_proj.weight" in sd:
+        sa["r_proj"] = _linear(sd, f"{p}.self_attn.sdpa.r_proj")
+        sa["u_bias"] = np.asarray(sd[f"{p}.self_attn.sdpa.u_bias"])
+        sa["v_bias"] = np.asarray(sd[f"{p}.self_attn.sdpa.v_bias"])
+    conv = {
+        "layer_norm": _ln(sd, f"{p}.conv_layer_norm"),
+        "pointwise_conv1": _pointwise(sd, f"{p}.conv.pointwise_conv1"),
+        "depthwise_conv": _conv(sd, f"{p}.conv.depthwise_conv"),
+        "norm": (_ln(sd, f"{p}.conv.layer_norm")
+                 if f"{p}.conv.layer_norm.weight" in sd
+                 else _bn_fold(sd, f"{p}.conv.batch_norm")),
+        "pointwise_conv2": _pointwise(sd, f"{p}.conv.pointwise_conv2"),
+    }
+    return {
+        "ffn1": {"layer_norm": _ln(sd, f"{p}.ffn1_layer_norm"),
+                 "inner_proj": _linear(sd, f"{p}.ffn1.inner_proj"),
+                 "output_proj": _linear(sd, f"{p}.ffn1.output_proj")},
+        "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+        "self_attn": sa,
+        "conv": conv,
+        "ffn2": {"layer_norm": _ln(sd, f"{p}.ffn2_layer_norm"),
+                 "inner_proj": _linear(sd, f"{p}.ffn2.inner_proj"),
+                 "output_proj": _linear(sd, f"{p}.ffn2.output_proj")},
+        "layer_norm": _ln(sd, f"{p}.layer_norm"),
+    }
+
+
 def unity_tree_from_fairseq2(sd: Mapping[str, np.ndarray], *, v2: bool = True) -> dict:
     """Build the models/unity param pytree from fairseq2-path tensors."""
     n_enc = _num_layers(sd, r"speech_encoder\.inner\.layers\.([0-9]+)\.")
-    enc_layers = []
-    for i in range(n_enc):
-        p = f"speech_encoder.inner.layers.{i}"
-        sa = _mha(sd, f"{p}.self_attn")
-        if f"{p}.self_attn.sdpa.rel_k_embed.weight" in sd:
-            sa["rel_k_embed"] = _embed(sd, f"{p}.self_attn.sdpa.rel_k_embed")
-        if f"{p}.self_attn.sdpa.r_proj.weight" in sd:
-            sa["r_proj"] = _linear(sd, f"{p}.self_attn.sdpa.r_proj")
-            sa["u_bias"] = np.asarray(sd[f"{p}.self_attn.sdpa.u_bias"])
-            sa["v_bias"] = np.asarray(sd[f"{p}.self_attn.sdpa.v_bias"])
-        conv = {
-            "layer_norm": _ln(sd, f"{p}.conv_layer_norm"),
-            "pointwise_conv1": _pointwise(sd, f"{p}.conv.pointwise_conv1"),
-            "depthwise_conv": _conv(sd, f"{p}.conv.depthwise_conv"),
-            "norm": (_ln(sd, f"{p}.conv.layer_norm")
-                     if f"{p}.conv.layer_norm.weight" in sd
-                     else _bn_fold(sd, f"{p}.conv.batch_norm")),
-            "pointwise_conv2": _pointwise(sd, f"{p}.conv.pointwise_conv2"),
-        }
-        enc_layers.append({
-            "ffn1": {"layer_norm": _ln(sd, f"{p}.ffn1_layer_norm"),
-                     "inner_proj": _linear(sd, f"{p}.ffn1.inner_proj"),
-                     "output_proj": _linear(sd, f"{p}.ffn1.output_proj")},
-            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
-            "self_attn": sa,
-            "conv": conv,
-            "ffn2": {"layer_norm": _ln(sd, f"{p}.ffn2_layer_norm"),
-                     "inner_proj": _linear(sd, f"{p}.ffn2.inner_proj"),
-                     "output_proj": _linear(sd, f"{p}.ffn2.output_proj")},
-            "layer_norm": _ln(sd, f"{p}.layer_norm"),
-        })
+    enc_layers = [_conformer_layer_tree(sd, f"speech_encoder.inner.layers.{i}")
+                  for i in range(n_enc)]
 
     n_adapt = _num_layers(sd, r"speech_encoder\.adaptor_layers\.([0-9]+)\.")
     adaptors = []
@@ -936,6 +940,104 @@ def wav2vec2_raw_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
         "encoder_norm": _ln(f2, "encoder.layer_norm"),
         "layers": _stack(layers),
     }
+
+
+# fairseq1 conformer-shaw (w2v-BERT pretraining) -> fairseq2 paths, mirroring
+# reference models/conformer_shaw/loader.py:44-74 convert_conformer_shaw_checkpoint
+_CONFORMER_SHAW_RULES = [
+    (r"^encoder\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+     r"encoder.layers.\1.self_attn.output_proj."),
+    (r"^encoder\.layers\.([0-9]+)\.self_attn\.rel_k_embedding\.",
+     r"encoder.layers.\1.self_attn.sdpa.rel_k_embed."),
+    (r"^encoder\.layers\.([0-9]+)\.conv_module\.depthwise_conv\.",
+     r"encoder.layers.\1.conv.depthwise_conv."),
+    (r"^encoder\.layers\.([0-9]+)\.conv_module\.layer_norm2\.",
+     r"encoder.layers.\1.conv.layer_norm."),
+    (r"^encoder\.layers\.([0-9]+)\.conv_module\.layer_norm\.",
+     r"encoder.layers.\1.conv_layer_norm."),
+    (r"^encoder\.layers\.([0-9]+)\.conv_module\.pointwise_conv1\.",
+     r"encoder.layers.\1.conv.pointwise_conv1."),
+    (r"^encoder\.layers\.([0-9]+)\.conv_module\.pointwise_conv2\.",
+     r"encoder.layers.\1.conv.pointwise_conv2."),
+    (r"^encoder\.layers\.([0-9]+)\.ffn(1|2)\.layer_norm\.",
+     r"encoder.layers.\1.ffn\2_layer_norm."),
+    (r"^encoder\.layers\.([0-9]+)\.ffn(1|2)\.w_1\.",
+     r"encoder.layers.\1.ffn\2.inner_proj."),
+    (r"^encoder\.layers\.([0-9]+)\.ffn(1|2)\.w_2\.",
+     r"encoder.layers.\1.ffn\2.output_proj."),
+    (r"^encoder\.layers\.([0-9]+)\.final_layer_norm\.",
+     r"encoder.layers.\1.layer_norm."),
+    (r"^layer_norm\.", "encoder_frontend.post_extract_layer_norm."),
+    (r"^post_extract_proj\.", "encoder_frontend.model_dim_proj."),
+    # fairseq2-native checkpoints pass through unchanged
+    (r"^encoder_frontend\.", "encoder_frontend."),
+    (r"^encoder\.", "encoder."),
+]
+
+# pretraining-only tensors with no inference use (masker/quantizer/target proj,
+# reference loader.py:33-41 deletes the mlm head the same way)
+_CONFORMER_SHAW_DROP = re.compile(
+    r"^(mask_emb|quantizer\.|project_q\.|mlm_proj\.|final_target_proj\.|masker\.)")
+
+
+def conformer_shaw_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
+    """Standalone conformer-shaw speech-encoder checkpoint (fairseq1 w2v-BERT
+    names or fairseq2 names; card cards/conformer_shaw.yaml) -> the
+    ``speech_encoder`` sub-tree pieces shared with UnitY:
+    {"feature_projection", "encoder"}. Used as pretrained init for finetuning
+    (reference models/conformer_shaw/loader.py:1-92, m4t finetune from
+    wav2vec2 init)."""
+    f2: Dict[str, np.ndarray] = {}
+    compiled = [(re.compile(p), r) for p, r in _CONFORMER_SHAW_RULES]
+    for key, val in sd.items():
+        if _CONFORMER_SHAW_DROP.match(key):
+            continue
+        for rx, repl in compiled:
+            if rx.match(key):
+                f2[rx.sub(repl, key)] = np.asarray(val)
+                break
+
+    n = _num_layers(f2, r"encoder\.layers\.([0-9]+)\.")
+    if n == 0:
+        raise ValueError("no conformer encoder layers found in checkpoint")
+    layers = [_conformer_layer_tree(f2, f"encoder.layers.{i}") for i in range(n)]
+    return {
+        "feature_projection": {
+            "layer_norm": _ln(f2, "encoder_frontend.post_extract_layer_norm"),
+            "projection": _linear(f2, "encoder_frontend.model_dim_proj"),
+        },
+        "encoder": _stack(layers),
+    }
+
+
+def init_speech_encoder_from_conformer_shaw(params: dict, sd: Mapping[str, np.ndarray],
+                                            *, dtype=None) -> dict:
+    """Overwrite ``params['speech_encoder']``'s frontend projection + conformer
+    stack with a converted standalone conformer-shaw checkpoint, keeping the
+    UnitY-only adaptor/intermediate_ffn/inner_layer_norm at their current
+    (fresh) values — the reference finetune's pretrained-encoder init."""
+    import jax
+    import jax.numpy as jnp
+
+    tree = conformer_shaw_tree_from_pt(sd)
+    se = dict(params["speech_encoder"])
+    for key in ("feature_projection", "encoder"):
+        new = tree[key]
+        old = se[key]
+        old_leaves = jax.tree.leaves(old)
+        new_leaves = jax.tree.leaves(new)
+        if len(old_leaves) != len(new_leaves) or any(
+                tuple(a.shape) != tuple(np.shape(b))
+                for a, b in zip(old_leaves, new_leaves)):
+            raise ValueError(
+                f"conformer_shaw checkpoint does not match model config at "
+                f"'{key}' (layer count / dims)")
+        if dtype is None:
+            dtype = old_leaves[0].dtype
+        se[key] = jax.tree.map(lambda a: jnp.asarray(a, dtype), new)
+    out = dict(params)
+    out["speech_encoder"] = se
+    return out
 
 
 def load_pt_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -47,6 +47,12 @@ def main() -> None:
     parser.add_argument("--save_state_to", type=str, default=None,
                         help="write a resumable full train-state checkpoint "
                              "when training ends")
+    parser.add_argument("--init_speech_encoder", type=str, default=None,
+                        help="path to a standalone conformer-shaw .pt "
+                             "(cards/conformer_shaw.yaml): initialize the "
+                             "speech encoder's conformer stack + frontend "
+                             "projection from the pretrained checkpoint "
+                             "(reference models/conformer_shaw/loader.py)")
     args = parser.parse_args()
 
     import jax
@@ -60,6 +66,15 @@ def main() -> None:
 
     params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
         args.model_name, local_hf_path=args.local_hf_path)
+
+    if args.init_speech_encoder:
+        from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+            init_speech_encoder_from_conformer_shaw, load_pt_state_dict,
+        )
+        logger.info("initializing speech encoder from %s",
+                    args.init_speech_encoder)
+        params = init_speech_encoder_from_conformer_shaw(
+            params, load_pt_state_dict(args.init_speech_encoder))
 
     dp = args.data_parallel or (len(jax.devices()) // args.model_parallel)
     mesh = make_mesh(data=dp, model=args.model_parallel)

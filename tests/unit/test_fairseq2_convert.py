@@ -635,3 +635,103 @@ def test_apply_unity_fixups():
     # t2u decoder frontend embed tied to t2u final_proj
     np.testing.assert_array_equal(
         out["t2u_model.decoder_frontend.embed.weight"], t2u_proj)
+
+
+# --- standalone conformer-shaw encoder checkpoint (cards/conformer_shaw.yaml) ---
+
+def export_conformer_shaw_fairseq1(se: dict) -> dict:
+    """Export the speech-encoder conformer pieces under the FAIRSEQ1 w2v-BERT
+    key names the reference's convert_conformer_shaw_checkpoint consumes
+    (models/conformer_shaw/loader.py:44-74 LHS patterns)."""
+    sd: dict = {}
+    _x_ln(sd, "layer_norm", se["feature_projection"]["layer_norm"])
+    _x_lin(sd, "post_extract_proj", se["feature_projection"]["projection"])
+    for i, lp in enumerate(_unstack(se["encoder"])):
+        p = f"encoder.layers.{i}"
+        for n in (1, 2):
+            _x_ln(sd, f"{p}.ffn{n}.layer_norm", lp[f"ffn{n}"]["layer_norm"])
+            _x_lin(sd, f"{p}.ffn{n}.w_1", lp[f"ffn{n}"]["inner_proj"])
+            _x_lin(sd, f"{p}.ffn{n}.w_2", lp[f"ffn{n}"]["output_proj"])
+        _x_ln(sd, f"{p}.self_attn_layer_norm", lp["self_attn_layer_norm"])
+        for k in ("q_proj", "k_proj", "v_proj"):
+            _x_lin(sd, f"{p}.self_attn.{k}", lp["self_attn"][k])
+        _x_lin(sd, f"{p}.self_attn.out_proj", lp["self_attn"]["output_proj"])
+        _x_embed(sd, f"{p}.self_attn.rel_k_embedding",
+                 lp["self_attn"]["rel_k_embed"])
+        conv = lp["conv"]
+        _x_ln(sd, f"{p}.conv_module.layer_norm", conv["layer_norm"])
+        _x_pointwise(sd, f"{p}.conv_module.pointwise_conv1",
+                     conv["pointwise_conv1"])
+        _x_conv(sd, f"{p}.conv_module.depthwise_conv", conv["depthwise_conv"])
+        _x_ln(sd, f"{p}.conv_module.layer_norm2", conv["norm"])
+        _x_pointwise(sd, f"{p}.conv_module.pointwise_conv2",
+                     conv["pointwise_conv2"])
+        _x_ln(sd, f"{p}.final_layer_norm", lp["layer_norm"])
+    # pretraining-only tensors present in real checkpoints; must be dropped
+    sd["mask_emb"] = torch.zeros(4)
+    sd["quantizer.vars"] = torch.zeros(1, 8, 2)
+    sd["quantizer.weight_proj.weight"] = torch.zeros(8, 4)
+    sd["project_q.weight"] = torch.zeros(4, 4)
+    sd["mlm_proj.weight"] = torch.zeros(4, 4)
+    return sd
+
+
+def test_conformer_shaw_pt_roundtrip(tmp_path):
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        conformer_shaw_tree_from_pt,
+    )
+
+    params = unity.unity_init(jax.random.PRNGKey(7), get_arch("tiny_v2"))
+    se = params["speech_encoder"]
+    path = tmp_path / "conformer_shaw.pt"
+    torch.save({"model": export_conformer_shaw_fairseq1(se)}, path)
+    got = conformer_shaw_tree_from_pt(load_pt_state_dict(str(path)))
+    _assert_trees_equal({"feature_projection": se["feature_projection"],
+                         "encoder": se["encoder"]}, got)
+
+
+def test_finetune_init_speech_encoder_from_conformer_shaw(tmp_path):
+    """--init_speech_encoder: the pretrained conformer stack lands in a FRESH
+    UnitY model (adaptor/decoder untouched) and the model still trains."""
+    import optax
+
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        init_speech_encoder_from_conformer_shaw,
+    )
+    from seamless_communication_tpu.train.trainer import make_train_step
+
+    cfg = get_arch("tiny_v2")
+    pretrained = unity.unity_init(jax.random.PRNGKey(8), cfg)
+    path = tmp_path / "conformer_shaw.pt"
+    torch.save({"model": export_conformer_shaw_fairseq1(
+        pretrained["speech_encoder"])}, path)
+
+    fresh = unity.unity_init(jax.random.PRNGKey(9), cfg)
+    merged = init_speech_encoder_from_conformer_shaw(
+        fresh, load_pt_state_dict(str(path)))
+    _assert_trees_equal(merged["speech_encoder"]["encoder"],
+                        pretrained["speech_encoder"]["encoder"])
+    _assert_trees_equal(merged["text_decoder"], fresh["text_decoder"])
+    _assert_trees_equal(merged["speech_encoder"]["adaptor"],
+                        fresh["speech_encoder"]["adaptor"])
+
+    # mismatched config is rejected, not silently truncated
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        init_speech_encoder_from_conformer_shaw(
+            unity.unity_init(jax.random.PRNGKey(1), get_arch("micro")),
+            load_pt_state_dict(str(path)))
+
+    # one train step runs on the merged params
+    rng = np.random.default_rng(0)
+    B, T, L = 2, 64, 8
+    batch = {
+        "fbank": rng.standard_normal((B, T, 80)).astype(np.float32),
+        "fbank_lens": np.array([T, T // 2], np.int32),
+        "prev_tokens": rng.integers(4, 200, (B, L)).astype(np.int32),
+        "target_tokens": rng.integers(4, 200, (B, L)).astype(np.int32),
+        "target_lens": np.array([L, L - 2], np.int32),
+    }
+    step = jax.jit(make_train_step(cfg, optax.adam(1e-4)))
+    p2, _, metrics = step(merged, optax.adam(1e-4).init(merged), batch)
+    assert np.isfinite(float(metrics["loss"]))
