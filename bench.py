@@ -81,6 +81,8 @@ def main() -> None:
     jax.block_until_ready(params)
     jax.block_until_ready(voc_params)
     init_s = time.time() - t0
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# init {init_s:.1f}s", flush=True)
 
     # host char-frontend fixtures: a realistic synthetic piece vocabulary so the
     # timed path runs the REAL text->char host pass (text/char_frontend.py),
@@ -147,10 +149,14 @@ def main() -> None:
             sds((1, MAX_CHAR_LEN), jnp.int32),
             sds((1, TEXT_MAX_LEN), jnp.int32)),
     }
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# lowered at {time.time()-t0:.1f}s", flush=True)
     with ThreadPoolExecutor(3) as ex:
         compiled = {k: f.result() for k, f in
                     [(k, ex.submit(l.compile)) for k, l in lowered.items()]}
     compile_s = time.time() - t0
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# compiled {compile_s:.1f}s", flush=True)
 
     def run_once():
         enc = compiled["enc"](params, wav)
@@ -168,8 +174,13 @@ def main() -> None:
         # not synchronize reliably through the axon remote tunnel)
         return float(np.asarray(out[0][:, :8]).sum()), int(np.asarray(out[1])[0])
 
-    # warmup (executables are compiled; first run just primes transfers)
+    # warmup: the remote axon service loads each executable onto the chip at
+    # first launch — measured separately so compile_s reflects XLA compilation
+    t0 = time.time()
     chk, n_samples = run_once()
+    warmup_s = time.time() - t0
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# warmup {warmup_s:.1f}s", flush=True)
 
     times = []
     for _ in range(3):
@@ -180,6 +191,7 @@ def main() -> None:
     rtf = float(np.median(times)) / AUDIO_SECONDS
     extra = {"compile_s": round(compile_s, 1),
              "init_s": round(init_s, 1),
+             "warmup_s": round(warmup_s, 1),
              "p50_ms": round(float(np.median(times)) * 1000, 1),
              "decode_cap": f"reference min(S+200,1024)={TEXT_MAX_LEN} steps, "
                            "min_len forces all steps",

@@ -1,0 +1,361 @@
+#!/usr/bin/env python
+"""One-command real-checkpoint validation harness.
+
+Run this the day reference checkpoints become reachable: it converts every
+model family from original fairseq2 ``.pt`` files and replays the reference's
+published golden anchors with per-family PASS/FAIL/SKIP reporting.
+
+    python scripts/validate_real_checkpoints.py --checkpoint-dir /path/to/ckpts
+
+Expected files in --checkpoint-dir (any subset; missing files SKIP that family):
+
+    seamlessM4T_v2_large.pt        multitask UnitY v2 (+ tokenizer.model,
+    seamlessM4T_large.pt           spm_char_lang38_tc.model)
+    tokenizer.model                NLLB-100 sentencepiece model
+    spm_char_lang38_tc.model       char tokenizer (v2 NAR frontend)
+    vocoder_v2.pt                  unit HiFi-GAN (v2)
+    vocoder_36langs.pt             unit HiFi-GAN (v1)
+    conformer_shaw.pt              standalone pretrained speech encoder
+    nar_t2u_aligner.pt             UnitY2 aligner
+    xlsr2_1b_v2.pt                 XLSR unit-extractor encoder
+    kmeans_10k.npy                 unit-extractor kmeans centroids
+    LJ037-0171_sr16k.wav           the reference test fixture audio
+                                   (https://dl.fbaipublicfiles.com/seamlessM4T/LJ037-0171_sr16k.wav)
+    pretssel_melhifigan_wm-16khz.pt   PRETSSEL expressive vocoder (optional)
+    pretssel_activations.npz       recorded reference activations (optional:
+                                   {"mel": ..., "wav": ...} for the same input)
+
+Golden anchors replayed (values copied from the reference test suite):
+
+  - T2TT eng->deu exact sentences
+    (reference tests/integration/inference/test_translator.py:13-15)
+  - multiple-tasks t2st/s2st/asr Spanish round trip
+    (test_translator.py:57-95)
+  - conformer_shaw encoder output mean/std
+    (tests/integration/models/test_conformer_shaw.py:20: -0.0001 / 0.1547)
+  - UnitY2 aligner durations on LJ037-0171
+    (tests/integration/models/test_unity2_aligner.py:20-37)
+  - vocoder / PRETSSEL: finite nonzero waveform (+ optional recorded
+    activations comparison)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# ---------------------------------------------------------------------------
+# reference anchors (verbatim values from the reference test suite)
+# ---------------------------------------------------------------------------
+
+ENG_SENTENCE = (
+    "On Monday, scientists from the Stanford University School of Medicine "
+    "announced the invention of a new diagnostic tool that can sort cells by "
+    "type: a tiny printable chip that can be manufactured using standard "
+    "inkjet printers for possibly about one U.S. cent each.")
+DEU_SENTENCE = (
+    "Am Montag kündigten Wissenschaftler der Stanford University School of "
+    "Medicine die Erfindung eines neuen Diagnosewerkzeugs an, das Zellen nach "
+    "Typ sortieren kann: ein winziger druckbarer Chip, der mit Standard-"
+    "Tintenstrahldruckern für etwa einen US-Cent hergestellt werden kann.")
+DEU_SENTENCE_V2 = (
+    "Am Montag kündigten Wissenschaftler der Stanford University School of "
+    "Medicine die Erfindung eines neuen diagnostischen Werkzeugs an, das "
+    "Zellen nach Typ sortieren kann: ein winziger druckbarer Chip, der mit "
+    "Standard-Tintenstrahldrucker für möglicherweise etwa einen US-Cent pro "
+    "Stück hergestellt werden kann.")
+SPA_SENTENCE = "Hola, espero que todo se esté haciendo bien."
+ENG_HELLO = "Hello! I hope you're all doing well."
+
+CONFORMER_REF_MEAN, CONFORMER_REF_STD = -0.0001, 0.1547
+
+ALIGNER_REF_TEXT = ("the examination and testimony of the experts enabled the "
+                    "commision to conclude that five shots may have been fired")
+ALIGNER_REF_DURATIONS_FP32 = [
+    1, 1, 2, 1, 1, 5, 5, 6, 4, 3, 2, 3, 4, 4, 2, 2, 2, 1,
+    1, 1, 3, 3, 3, 4, 3, 3, 4, 3, 4, 3, 2, 2, 1, 1, 1, 1,
+    2, 4, 6, 5, 4, 3, 4, 5, 5, 16, 6, 3, 5, 5, 3, 3, 1, 2,
+    1, 1, 1, 2, 3, 2, 3, 1, 3, 3, 3, 2, 2, 4, 2, 2, 2, 3,
+    2, 4, 5, 4, 5, 8, 3, 17, 2, 2, 3, 2, 5, 4, 6, 3, 1, 1,
+    4, 4, 3, 5, 3, 3, 2, 2, 2, 2, 2, 2, 2, 1, 2, 2, 1, 1,
+    2, 6, 4, 5, 9, 5, 1, 12]
+
+
+# ---------------------------------------------------------------------------
+# harness
+# ---------------------------------------------------------------------------
+
+class Ctx:
+    def __init__(self, ckpt_dir: str, dtype_name: str):
+        self.dir = ckpt_dir
+        self.dtype_name = dtype_name
+        self._cache: Dict[str, object] = {}
+
+    def path(self, name: str) -> Optional[str]:
+        p = os.path.join(self.dir, name)
+        return p if os.path.exists(p) else None
+
+    def need(self, *names: str) -> List[str]:
+        missing = [n for n in names if self.path(n) is None]
+        if missing:
+            raise FileNotFoundError(", ".join(missing))
+        return [self.path(n) for n in names]
+
+    # --- cached loaders -----------------------------------------------------
+
+    def dtype(self):
+        import jax.numpy as jnp
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.dtype_name]
+
+    def wav(self) -> np.ndarray:
+        (p,) = self.need("LJ037-0171_sr16k.wav")
+        try:
+            import soundfile as sf
+            data, sr = sf.read(p, dtype="float32")
+        except ImportError:
+            import wave
+            with wave.open(p, "rb") as f:
+                sr = f.getframerate()
+                raw = f.readframes(f.getnframes())
+                data = (np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0)
+                if f.getnchannels() > 1:
+                    data = data.reshape(-1, f.getnchannels())
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        assert sr == 16000, f"expected 16 kHz fixture, got {sr}"
+        return data
+
+    def text_tokenizer(self):
+        from seamless_communication_tpu.assets import load_card
+        from seamless_communication_tpu.text.nllb import NllbTokenizer
+        from seamless_communication_tpu.text.spm import SentencePieceModel
+        (p,) = self.need("tokenizer.model")
+        card = load_card("seamlessM4T_v2_large")
+        langs = [f"__{l}__" for l in card.get("langs", [])]
+        return NllbTokenizer(SentencePieceModel.from_file(p), langs=langs)
+
+    def translator(self, family: str):
+        """family: 'v2' or 'v1'."""
+        key = f"translator_{family}"
+        if key in self._cache:
+            return self._cache[key]
+        from seamless_communication_tpu.assets import load_card
+        from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+            fairseq1_to_fairseq2, load_pt_state_dict, unity_tree_from_fairseq2,
+            vocoder_tree_from_pt,
+        )
+        from seamless_communication_tpu.inference.translator import Translator
+        from seamless_communication_tpu.models.unity.builder import get_arch
+        from seamless_communication_tpu.models.unity.unit_tokenizer import (
+            UnitTokenizer,
+        )
+        from seamless_communication_tpu.models.vocoder.codehifigan import (
+            CodeHifiGanConfig,
+        )
+        from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+        import jax
+
+        if family == "v2":
+            ckpt, voc = "seamlessM4T_v2_large.pt", "vocoder_v2.pt"
+            card_name = "seamlessM4T_v2_large"
+        else:
+            ckpt, voc = "seamlessM4T_large.pt", "vocoder_36langs.pt"
+            card_name = "seamlessM4T_large"
+        (ckpt_p,) = self.need(ckpt)
+        card = load_card(card_name)
+        cfg = get_arch(card["model_arch"])
+
+        sd = load_pt_state_dict(ckpt_p)
+        sd = fairseq1_to_fairseq2(sd) if any(
+            k.startswith("encoder.w2v_encoder") or ".w2v_model." in k
+            for k in sd) else sd
+        params = unity_tree_from_fairseq2(sd, v2=(family == "v2"))
+        params = jax.tree.map(
+            lambda a: jax.numpy.asarray(a, self.dtype()), params)
+
+        voc_params = voc_cfg = None
+        lang_spkr = card.get("lang_spkr_idx_map")
+        if self.path(voc):
+            voc_params = vocoder_tree_from_pt(load_pt_state_dict(self.path(voc)))
+            voc_cfg = CodeHifiGanConfig()
+            voc_card = load_card("vocoder_v2" if family == "v2"
+                                 else "vocoder_36langs")
+            lang_spkr = voc_card.get("lang_spkr_idx_map", lang_spkr)
+
+        char_tok = None
+        if family == "v2":
+            (char_p,) = self.need("spm_char_lang38_tc.model")
+            char_tok = CharTokenizer.from_file(char_p)
+        unit_tok = UnitTokenizer(card.get("num_units", 10000),
+                                 card.get("unit_langs", []),
+                                 card["model_arch"])
+        tr = Translator(params, cfg, self.text_tokenizer(), unit_tok, char_tok,
+                        vocoder_params=voc_params, vocoder_cfg=voc_cfg,
+                        lang_spkr_idx_map=lang_spkr)
+        self._cache[key] = tr
+        return tr
+
+
+# --- family checks ----------------------------------------------------------
+
+def check_t2tt_v2(ctx: Ctx):
+    tr = ctx.translator("v2")
+    texts, _ = tr.predict(ENG_SENTENCE, "t2tt", "deu", src_lang="eng")
+    assert texts[0] == DEU_SENTENCE_V2, f"got: {texts[0]!r}"
+    return "exact German sentence match (v2)"
+
+
+def check_t2tt_v1(ctx: Ctx):
+    tr = ctx.translator("v1")
+    texts, _ = tr.predict(ENG_SENTENCE, "t2tt", "deu", src_lang="eng")
+    assert texts[0] == DEU_SENTENCE, f"got: {texts[0]!r}"
+    return "exact German sentence match (v1)"
+
+
+def check_multiple_tasks_v2(ctx: Ctx):
+    """t2st eng -> s2st spa -> asr spa round trip (test_translator.py:57-95)."""
+    tr = ctx.translator("v2")
+    _, speech = tr.predict(ENG_HELLO, "t2st", "eng", src_lang="eng")
+    assert speech is not None and np.isfinite(speech.audio_wavs[0]).all()
+    spa_text, spa_speech = tr.predict(np.asarray(speech.audio_wavs[0]),
+                                      "s2st", "spa")
+    assert spa_text[0] == SPA_SENTENCE, f"got: {spa_text[0]!r}"
+    asr_text, _ = tr.predict(np.asarray(spa_speech.audio_wavs[0]), "asr", "spa")
+    assert asr_text[0] == SPA_SENTENCE, f"got: {asr_text[0]!r}"
+    return "t2st/s2st/asr Spanish round trip matches"
+
+
+def check_conformer_shaw(ctx: Ctx):
+    import jax.numpy as jnp
+    from seamless_communication_tpu.audio.fbank import fbank_jax
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        conformer_shaw_tree_from_pt, load_pt_state_dict,
+    )
+    from seamless_communication_tpu.models.wav2vec2.encoder import (
+        conformer_encoder_forward_standalone,
+    )
+
+    (p,) = ctx.need("conformer_shaw.pt")
+    tree = conformer_shaw_tree_from_pt(load_pt_state_dict(p))
+    wav = ctx.wav()
+    fb = np.asarray(fbank_jax(jnp.asarray(wav)))[None]
+    out = conformer_encoder_forward_standalone(tree, jnp.asarray(fb, ctx.dtype()))
+    arr = np.asarray(out, np.float64)
+    mean, std = round(float(arr.mean()), 4), round(float(arr.std(ddof=1)), 4)
+    assert (mean, std) == (CONFORMER_REF_MEAN, CONFORMER_REF_STD), \
+        f"mean/std {mean}/{std} != {CONFORMER_REF_MEAN}/{CONFORMER_REF_STD}"
+    return f"encoder mean/std {mean}/{std} match"
+
+
+def check_aligner(ctx: Ctx):
+    from seamless_communication_tpu.models.aligner.extractor import (
+        AlignmentExtractor,
+    )
+    a_p, x_p, k_p = ctx.need("nar_t2u_aligner.pt", "xlsr2_1b_v2.pt",
+                             "kmeans_10k.npy")
+    extractor = AlignmentExtractor(a_p, x_p, k_p, output_layer=35)
+    durations, _ = extractor.extract_alignment(ctx.wav(), ALIGNER_REF_TEXT)
+    got = [int(d) for d in np.asarray(durations).reshape(-1)]
+    assert got == ALIGNER_REF_DURATIONS_FP32, \
+        f"durations differ at {next(i for i,(a,b) in enumerate(zip(got, ALIGNER_REF_DURATIONS_FP32)) if a != b)}"
+    return f"{len(got)} durations match exactly"
+
+
+def check_pretssel(ctx: Ctx):
+    import jax
+    import jax.numpy as jnp
+    from seamless_communication_tpu.audio.fbank import fbank_jax
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        load_pt_state_dict, pretssel_tree_from_pt,
+    )
+    from seamless_communication_tpu.models.pretssel.vocoder import (
+        pretssel_16khz_config, pretssel_forward,
+    )
+
+    (p,) = ctx.need("pretssel_melhifigan_wm-16khz.pt")
+    cfg = pretssel_16khz_config()
+    params = pretssel_tree_from_pt(load_pt_state_dict(p), cfg)
+    wav = ctx.wav()
+    fb = fbank_jax(jnp.asarray(wav))[None]
+    rng = np.random.default_rng(0)
+    U = 64
+    units = jnp.asarray(rng.integers(4, 10000, (1, U)), jnp.int32)
+    durs = jnp.full((1, U), 2, jnp.int32)
+    out = pretssel_forward(params, cfg, units, jnp.array([U]), durs,
+                           fb.astype(ctx.dtype()), jnp.array([fb.shape[1]]),
+                           jnp.array([0]), max_mel_len=160)
+    w = np.asarray(out.waveform, np.float32)
+    assert np.isfinite(w).all() and float(np.abs(w).max()) > 1e-4
+    npz = ctx.path("pretssel_activations.npz")
+    if npz:
+        rec = np.load(npz)
+        np.testing.assert_allclose(np.asarray(out.mel, np.float32),
+                                   rec["mel"], atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(w, rec["wav"], atol=1e-2, rtol=1e-2)
+        return "waveform finite + recorded activations match"
+    return "waveform finite/nonzero (no recorded activations provided)"
+
+
+CHECKS: List[tuple] = [
+    ("t2tt_v2", check_t2tt_v2),
+    ("t2tt_v1", check_t2tt_v1),
+    ("multiple_tasks_v2", check_multiple_tasks_v2),
+    ("conformer_shaw", check_conformer_shaw),
+    ("aligner", check_aligner),
+    ("pretssel", check_pretssel),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help=f"subset of checks: {[n for n, _ in CHECKS]}")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="float32 matches the reference fp32 anchors")
+    ap.add_argument("--report", default=None, help="write JSON report here")
+    args = ap.parse_args()
+
+    ctx = Ctx(args.checkpoint_dir, args.dtype)
+    results = {}
+    for name, fn in CHECKS:
+        if args.only and name not in args.only:
+            continue
+        t0 = time.time()
+        try:
+            detail = fn(ctx)
+            results[name] = {"status": "PASS", "detail": detail}
+        except FileNotFoundError as e:
+            results[name] = {"status": "SKIP", "detail": f"missing: {e}"}
+        except Exception as e:
+            results[name] = {"status": "FAIL",
+                             "detail": f"{type(e).__name__}: {e}",
+                             "traceback": traceback.format_exc()}
+        results[name]["seconds"] = round(time.time() - t0, 1)
+        print(f"[{results[name]['status']:4s}] {name}: "
+              f"{results[name]['detail']} ({results[name]['seconds']}s)",
+              flush=True)
+
+    n_fail = sum(r["status"] == "FAIL" for r in results.values())
+    n_pass = sum(r["status"] == "PASS" for r in results.values())
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{sum(r['status'] == 'SKIP' for r in results.values())} skipped")
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(results, f, indent=2)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
