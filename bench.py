@@ -271,7 +271,7 @@ def main() -> None:
         gc.collect()
         tcfg = get_arch("medium")
         opt = optax.adafactor(1e-4)
-        tb, tt = 4, 128
+        tb, tt = int(os.environ.get("BENCH_TRAIN_B", "24")), 128
         tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
                                    dtype=jnp.bfloat16)
         topt = opt.init(tparams)
@@ -287,12 +287,37 @@ def main() -> None:
         tparams, topt, m = tstep(tparams, topt, batch)
         float(m["loss"])
         t0 = time.time()
-        tparams, topt, m = tstep(tparams, topt, batch)
+        n_steps = 3
+        for _ in range(n_steps):
+            tparams, topt, m = tstep(tparams, topt, batch)
         float(m["loss"])
-        dt = time.time() - t0
+        dt = (time.time() - t0) / n_steps
         extra["train_medium_step_s"] = round(dt, 3)
         extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
         extra["train_medium_audio_s_per_s"] = round(tb * AUDIO_SECONDS / dt, 2)
+
+        # model-FLOPs accounting -> MFU. 6*N*T matmul model (fwd 2NT + bwd
+        # 4NT) per component with ITS token count (encoder runs at the
+        # subsampled frame rate, decoder at text positions); remat re-runs
+        # the layer forwards once more (+2NT -> 8NT). Attention score/value
+        # matmuls (quadratic term) add 12*L*T^2*D per component — included;
+        # embedding gather excluded. Peak: TPU v5e bf16 = 197 TFLOP/s.
+        def _n(tree):
+            return sum(x.size for x in jax.tree.leaves(tree))
+
+        fwd_bwd = 8.0  # with remat: fwd + recompute-fwd + bwd
+        T_enc = MAX_FRAMES // 2                       # frontend stack /2
+        se, td = tparams["speech_encoder"], tparams["text_decoder"]
+        enc_flops = fwd_bwd * _n(se) * tb * T_enc
+        dec_flops = fwd_bwd * _n(td) * tb * tt        # incl. tied vocab proj
+        sp = tcfg.speech
+        attn = 12.0 * tb * (sp.conformer.num_layers * T_enc ** 2 * sp.model_dim
+                            + tcfg.nllb.num_decoder_layers * tt ** 2
+                            * tcfg.nllb.dim)
+        total_flops = enc_flops + dec_flops + attn
+        mfu = total_flops / dt / 197e12
+        extra["train_medium_model_tflops"] = round(total_flops / 1e12, 2)
+        extra["train_medium_mfu_pct"] = round(mfu * 100, 1)
 
     # opt-in streaming latency: production dims (chunked streaming encoder +
     # dense_1b EMMA monotonic decoder), warm ms per 320 ms chunk and xRT
@@ -337,6 +362,21 @@ def main() -> None:
         wall = stream_once()             # warm
         extra["stream_ms_per_chunk"] = round(wall / n_chunks * 1000, 1)
         extra["stream_xrt"] = round(wall / 10.0, 3)
+
+        # latency metrics through the SAME evaluator the streaming_evaluate
+        # CLI uses (AL/LAAL over emitted tokens; reference evaluate.py:70) on
+        # a small synthetic set — policy delays are weight-dependent, wall
+        # time is not part of AL, so this publishes the metric pipeline plus
+        # the policy's latency profile on this config
+        from seamless_communication_tpu.streaming.evaluator import (
+            evaluate_streaming,
+        )
+        utts = [np.asarray(rng.standard_normal(int(sec * 16000)),
+                           np.float32) * 0.1 for sec in (4.0, 6.5, 10.0)]
+        lat = evaluate_streaming(lambda: pipe, utts, tgt_lang="eng",
+                                 segment_size_ms=320)
+        extra["stream_AL_ms"] = round(lat["AL_ms"], 1)
+        extra["stream_LAAL_ms"] = round(lat["LAAL_ms"], 1)
 
     print(json.dumps({
         "metric": "s2st_rtf_v2_large_10s_worstcase",

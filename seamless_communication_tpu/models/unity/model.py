@@ -93,10 +93,16 @@ def project(params: dict, features: jax.Array) -> jax.Array:
 
 def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput):
     """Build the beam-search step_fn + cache factory for the X2T view."""
+    from seamless_communication_tpu.ops.transformer import unstack_layer_params
+
     mask = enc.padding_mask
+    # hoist the per-layer weight slices (and their MXU relayouts) out of the
+    # decode while-loop — they are loop-invariant
+    dec_params = dict(params["text_decoder"])
+    dec_params["stack"] = unstack_layer_params(dec_params["stack"])
 
     def step_fn(tok_t, cache, step, beam_src=None):
-        return text_decoder_step(params["text_decoder"], tok_t, cache, step, cfg.nllb,
+        return text_decoder_step(dec_params, tok_t, cache, step, cfg.nllb,
                                  enc_padding_mask=mask, beam_src=beam_src)
 
     def cache_fn(max_len: int, kv_int8: bool = False, per_layer: bool = True):

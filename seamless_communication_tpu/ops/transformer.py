@@ -155,7 +155,13 @@ class DecoderCache(NamedTuple):
 class DecoderCacheQ8(NamedTuple):
     """int8 variant of DecoderCache (per-row scales; ops/attention.py
     Int8KVCache): ~half the per-step KV HBM traffic at bf16-comparable
-    output quality."""
+    output quality.
+
+    ``row_src`` (per-layer caches only): a (B, T_max) int32 row-origin table
+    enabling LAZY beam reorder — the KV buffers are never physically permuted;
+    attention reads row t of logical beam b from physical slot
+    ``row_src[b, t]`` (ops/kernels/decode_attention.py indexed kernel). The
+    table is shared by all layers (every layer reorders identically)."""
     self_k: jax.Array        # (L, B, H, T_max, Dh) int8
     self_v: jax.Array
     self_k_scale: jax.Array  # (L, B, H, T_max) fp32
@@ -164,6 +170,7 @@ class DecoderCacheQ8(NamedTuple):
     cross_v: jax.Array
     cross_k_scale: jax.Array
     cross_v_scale: jax.Array
+    row_src: Optional[jax.Array] = None   # (B, T_max) int32
 
 
 def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
@@ -194,10 +201,14 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
                 lp["cross_attn"], enc_out, H) for lp in layer_ps]
             zs = lambda: tuple(jnp.zeros(shape[1:4], jnp.float32)
                                for _ in range(L))
+            # identity row-origin table: lazy beam reorder (see DecoderCacheQ8)
+            row_src = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
             return DecoderCacheQ8(
                 zk(), zk(), zs(), zs(),
                 tuple(c.k for c in cross), tuple(c.v for c in cross),
-                tuple(c.k_scale for c in cross), tuple(c.v_scale for c in cross))
+                tuple(c.k_scale for c in cross), tuple(c.v_scale for c in cross),
+                row_src)
         cross = [attn_ops.cross_attention_precompute(lp["cross_attn"], enc_out, H)
                  for lp in layer_ps]
         return DecoderCache(zk(), zk(), tuple(c.k for c in cross),
@@ -222,6 +233,22 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
 
     cross_k, cross_v = jax.vmap(per_layer_cross, in_axes=(0,))(params["layers"])
     return DecoderCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), cross_k, cross_v)
+
+
+def unstack_layer_params(stack_params: dict) -> dict:
+    """Return ``stack_params`` with an added ``layers_unstacked`` LIST of
+    per-layer dicts (``layers`` stays stacked for the scan paths).
+
+    Call at trace time, outside a decode while-loop: the layer slices (and any
+    MXU-layout relayouts) are then emitted once before the loop instead of
+    every step (`_decoder_step_per_layer` prefers the unstacked form)."""
+    layers = stack_params["layers"]
+    if "layers_unstacked" in stack_params or isinstance(layers, (list, tuple)):
+        return stack_params
+    L = jax.tree.leaves(layers)[0].shape[0]
+    return {**stack_params,
+            "layers_unstacked": [jax.tree.map(lambda a, i=i: a[i], layers)
+                                 for i in range(L)]}
 
 
 def decoder_cache_beam_reorder(cache, flat_src: jax.Array):
@@ -436,14 +463,30 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
         sks, svs = list(cache.self_k_scale), list(cache.self_v_scale)
     T = sk[0].shape[2]
     pos_is_step = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2) == step
+    lazy = (int8 and beam_src is not None
+            and getattr(cache, "row_src", None) is not None)
+    if lazy:
+        # lazy beam reorder: inherit the source beam's row-origin history and
+        # stamp this step's row as locally-written; the KV buffers themselves
+        # are never permuted (see DecoderCacheQ8.row_src)
+        B = x_t.shape[0]
+        row_src = jnp.take(cache.row_src, beam_src, axis=0)
+        row_src = jax.lax.dynamic_update_slice(
+            row_src, jnp.arange(B, dtype=jnp.int32)[:, None], (0, step))
+    unstacked = params.get("layers_unstacked")
     for i in range(L):
-        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        # pre-unstacked layer params (unstack_layer_params) avoid re-slicing +
+        # relayouting the stacked weights INSIDE the decode while-loop every
+        # step (~0.15 ms/step of s8 slice fusions on the v2-large bench)
+        lp = (unstacked[i] if unstacked is not None
+              else jax.tree.map(lambda a: a[i], params["layers"]))
         z = layer_norm(lp["self_attn_layer_norm"], h)
-        if beam_src is not None and int8 and _pallas_decode_enabled():
-            # Pallas fast path: gather + row insert + attention in ONE VMEM
-            # pass per beam (ops/kernels/decode_attention.py)
+        if lazy:
+            # indexed decode attention: one cache read, no permuted write-back
+            # (ops/kernels/decode_attention.py indexed kernel; XLA fallback is
+            # math-identical)
             from seamless_communication_tpu.ops.kernels.decode_attention import (
-                fused_decode_self_attention_int8,
+                indexed_decode_self_attention_int8,
             )
             ap = lp["self_attn"]
             qh = attn_ops._split_heads(linear(ap["q_proj"], z),
@@ -452,9 +495,19 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                                        cfg.num_heads)[:, :, 0]
             vh = attn_ops._split_heads(linear(ap["v_proj"], z),
                                        cfg.num_heads)[:, :, 0]
-            o, sk[i], sv[i], sks[i], svs[i] = fused_decode_self_attention_int8(
-                qh, kh, vh, sk[i], sv[i], sks[i], svs[i], step, beam_src,
-                use_pallas=True)
+            o = indexed_decode_self_attention_int8(
+                qh, kh, vh, sk[i], sv[i], sks[i], svs[i], row_src, step)
+            # the ONLY cache write: this beam's own new row at [b, :, step]
+            kq, ksc = attn_ops.quantize_kv_rows(kh)
+            vq, vsc = attn_ops.quantize_kv_rows(vh)
+            sk[i] = jax.lax.dynamic_update_slice(
+                sk[i], kq[:, :, None, :], (0, 0, step, 0))
+            sv[i] = jax.lax.dynamic_update_slice(
+                sv[i], vq[:, :, None, :], (0, 0, step, 0))
+            sks[i] = jax.lax.dynamic_update_slice(
+                sks[i], ksc[:, :, None], (0, 0, step))
+            svs[i] = jax.lax.dynamic_update_slice(
+                svs[i], vsc[:, :, None], (0, 0, step))
             y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
         elif int8:
             if beam_src is not None:
@@ -508,6 +561,11 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
         z = _act(cfg.activation)(linear(lp["ffn"]["inner_proj"], z))
         h = h + linear(lp["ffn"]["output_proj"], z)
     out = layer_norm(params["layer_norm"], h)
+    if lazy:
+        return out, cache._replace(self_k=tuple(sk), self_v=tuple(sv),
+                                   self_k_scale=tuple(sks),
+                                   self_v_scale=tuple(svs),
+                                   row_src=row_src)
     if int8:
         return out, cache._replace(self_k=tuple(sk), self_v=tuple(sv),
                                    self_k_scale=tuple(sks),

@@ -50,11 +50,9 @@ def average_lagging(delays_ms: List[float], source_ms: float, target_len: int, *
 
 
 def score_streaming_text(instances: List[StreamingInstance],
-                         references: List[str]) -> dict:
-    """S2TT streaming metrics: BLEU + AL + LAAL (reference evaluate.py:70)."""
-    import sacrebleu
-    hyps = [i.target_text.strip() for i in instances]
-    bleu = sacrebleu.corpus_bleu(hyps, [references]).score
+                         references: Optional[List[str]] = None) -> dict:
+    """S2TT streaming metrics: AL + LAAL, plus BLEU when references are given
+    (latency is reference-free; reference evaluate.py:70)."""
     al = float(np.mean([
         average_lagging(i.delays_ms, i.source_duration_ms, len(i.target_tokens))
         for i in instances]))
@@ -62,7 +60,12 @@ def score_streaming_text(instances: List[StreamingInstance],
         average_lagging(i.delays_ms, i.source_duration_ms, len(i.target_tokens),
                         length_adaptive=True)
         for i in instances]))
-    return {"bleu": bleu, "AL_ms": al, "LAAL_ms": laal}
+    out = {"AL_ms": al, "LAAL_ms": laal}
+    if references is not None:
+        import sacrebleu
+        hyps = [i.target_text.strip() for i in instances]
+        out["bleu"] = sacrebleu.corpus_bleu(hyps, [references]).score
+    return out
 
 
 def score_streaming_speech(instances: List[StreamingInstance]) -> dict:
@@ -120,7 +123,7 @@ def evaluate_streaming(pipeline_factory: Callable, waveforms: List[np.ndarray], 
     metrics: dict = {}
     if output_is_speech:
         metrics.update(score_streaming_speech(instances))
-    if references is not None and not output_is_speech:
+    if not output_is_speech:
         metrics.update(score_streaming_text(instances, references))
     metrics["num_instances"] = len(instances)
     return metrics

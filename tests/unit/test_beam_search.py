@@ -240,3 +240,45 @@ def test_src_to_step_stacked_cache_matches_classic():
                               np.asarray(scan_src.tokens))
         np.testing.assert_allclose(np.asarray(classic.scores),
                                    np.asarray(scan_src.scores), rtol=1e-5)
+
+
+def test_lazy_indexed_cache_matches_classic_reorder():
+    """Per-layer int8 cache in src_to_step mode now uses LAZY beam reorder (a
+    row-origin table instead of physically permuting the KV buffers,
+    ops/kernels/decode_attention.py indexed path). Tokens and scores must be
+    identical to the classic physical-gather reorder."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.ops.beam_search import (
+        BeamSearchOptions, beam_search,
+    )
+    from seamless_communication_tpu.ops.transformer import (
+        decoder_cache_beam_reorder,
+    )
+
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    K, V = 3, cfg.nllb.vocab_size
+    rng = np.random.default_rng(0)
+    enc = unity.EncoderOutput(
+        jnp.asarray(rng.standard_normal((2 * K, 9, cfg.nllb.dim)), jnp.float32),
+        jnp.full((2 * K,), 9, jnp.int32))
+    step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc)
+    prefix = jnp.array([[2, 5], [2, 6]], jnp.int32)
+    opts = BeamSearchOptions(beam_size=K, max_len=14, min_len=3,
+                             pad_idx=0, unk_idx=1, eos_idx=3)
+
+    cache = cache_fn(14, True)
+    assert cache.row_src is not None
+    lazy = beam_search(step_fn, cache, prefix, jnp.array([2, 2], jnp.int32),
+                       opts, V, src_to_step=True)
+    classic = beam_search(step_fn, cache_fn(14, True), prefix,
+                          jnp.array([2, 2], jnp.int32), opts, V,
+                          cache_reorder=decoder_cache_beam_reorder)
+    assert np.array_equal(np.asarray(classic.tokens), np.asarray(lazy.tokens))
+    np.testing.assert_allclose(np.asarray(classic.scores),
+                               np.asarray(lazy.scores), rtol=1e-5, atol=1e-6)

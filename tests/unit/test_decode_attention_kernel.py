@@ -69,3 +69,40 @@ def test_reference_matches_attention_step(data):
     # history preserved from the SOURCE beams
     np.testing.assert_array_equal(np.asarray(nk[:, :, :7]),
                                   np.asarray(d["kc"][src][:, :, :7]))
+
+
+@pytest.mark.parametrize("step", [0, 5, T - 1])
+def test_indexed_kernel_matches_indexed_reference(data, step):
+    """Lazy-reorder variant: the Pallas indexed kernel (interpret mode) must
+    match the pure-JAX row-origin-indexed reference."""
+    from seamless_communication_tpu.ops.kernels.decode_attention import (
+        _indexed_reference, indexed_decode_self_attention_int8,
+    )
+    d = data
+    rng = np.random.default_rng(3)
+    row_src = jnp.asarray(rng.integers(0, B, (B, T)), jnp.int32)
+    args = (d["q"], d["kt"], d["vt"], d["kc"], d["vc"], d["ks"], d["vs"],
+            row_src, jnp.int32(step))
+    ref = _indexed_reference(*args)
+    ker = indexed_decode_self_attention_int8(*args, use_pallas=True,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ker),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_indexed_reference_matches_physical_gather(data):
+    """With row_src rows all drawn from one permutation, the indexed read
+    equals the physical gather+attend reference."""
+    from seamless_communication_tpu.ops.kernels.decode_attention import (
+        _indexed_reference,
+    )
+    d = data
+    step = jnp.int32(9)
+    src = d["src"]
+    row_src = jnp.broadcast_to(src[:, None], (B, T))
+    ref_full = _reference(d["q"], d["kt"], d["vt"], d["kc"], d["vc"],
+                          d["ks"], d["vs"], step, src)
+    got = _indexed_reference(d["q"], d["kt"], d["vt"], d["kc"], d["vc"],
+                             d["ks"], d["vs"], row_src, step)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_full[0]),
+                               rtol=2e-5, atol=2e-5)
