@@ -242,15 +242,17 @@ def check_conformer_shaw(ctx: Ctx):
         conformer_shaw_tree_from_pt, load_pt_state_dict,
     )
     from seamless_communication_tpu.models.wav2vec2.encoder import (
-        conformer_encoder_forward_standalone,
+        conformer_shaw_standalone_forward,
     )
 
     (p,) = ctx.need("conformer_shaw.pt")
     tree = conformer_shaw_tree_from_pt(load_pt_state_dict(p))
     wav = ctx.wav()
-    fb = np.asarray(fbank_jax(jnp.asarray(wav)))[None]
-    out = conformer_encoder_forward_standalone(tree, jnp.asarray(fb, ctx.dtype()))
-    arr = np.asarray(out, np.float64)
+    fb = fbank_jax(jnp.asarray(wav))[None]
+    n_frames = jnp.array([fb.shape[1]], jnp.int32)
+    out, out_lens = conformer_shaw_standalone_forward(
+        tree, jnp.asarray(fb, ctx.dtype()), n_frames)
+    arr = np.asarray(out[0, :int(out_lens[0])], np.float64)
     mean, std = round(float(arr.mean()), 4), round(float(arr.std(ddof=1)), 4)
     assert (mean, std) == (CONFORMER_REF_MEAN, CONFORMER_REF_STD), \
         f"mean/std {mean}/{std} != {CONFORMER_REF_MEAN}/{CONFORMER_REF_STD}"
@@ -261,9 +263,11 @@ def check_aligner(ctx: Ctx):
     from seamless_communication_tpu.models.aligner.extractor import (
         AlignmentExtractor,
     )
-    a_p, x_p, k_p = ctx.need("nar_t2u_aligner.pt", "xlsr2_1b_v2.pt",
-                             "kmeans_10k.npy")
-    extractor = AlignmentExtractor(a_p, x_p, k_p, output_layer=35)
+    from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+    a_p, x_p, k_p, c_p = ctx.need("nar_t2u_aligner.pt", "xlsr2_1b_v2.pt",
+                                  "kmeans_10k.npy", "spm_char_lang38_tc.model")
+    extractor = AlignmentExtractor(a_p, x_p, k_p, output_layer=35,
+                                   char_tokenizer=CharTokenizer.from_file(c_p))
     durations, _ = extractor.extract_alignment(ctx.wav(), ALIGNER_REF_TEXT)
     got = [int(d) for d in np.asarray(durations).reshape(-1)]
     assert got == ALIGNER_REF_DURATIONS_FP32, \

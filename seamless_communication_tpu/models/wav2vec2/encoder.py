@@ -127,6 +127,24 @@ def _adaptor_layer(p: dict, x: jax.Array, lengths: jax.Array,
     return x, new_len
 
 
+def conformer_shaw_standalone_forward(params: dict, fbank: jax.Array,
+                                      frame_lens: jax.Array,
+                                      cfg: Optional["SpeechEncoderConfig"] = None
+                                      ) -> tuple[jax.Array, jax.Array]:
+    """Standalone pretrained conformer-shaw encoder: frontend (stack x2 ->
+    LN -> proj) + conformer stack ONLY — no UnitY intermediate-ffn/adaptor
+    (reference Wav2Vec2Model.encoder_frontend + .encoder as exercised by
+    tests/integration/models/test_conformer_shaw.py:34-37). ``params`` is the
+    tree from checkpoint.convert_fairseq2.conformer_shaw_tree_from_pt."""
+    cfg = cfg or SpeechEncoderConfig()
+    x, lens = stack_fbank_frames(fbank, frame_lens, stride=cfg.fbank_stride)
+    x = layer_norm(params["feature_projection"]["layer_norm"], x)
+    x = linear(params["feature_projection"]["projection"], x)
+    mask = lengths_to_padding_mask(lens, x.shape[1])
+    x = conformer_encoder(params["encoder"], x, cfg.conformer, padding_mask=mask)
+    return x, lens
+
+
 def speech_encoder_forward(params: dict, fbank: jax.Array, frame_lens: jax.Array,
                            cfg: SpeechEncoderConfig
                            ) -> tuple[jax.Array, jax.Array]:
