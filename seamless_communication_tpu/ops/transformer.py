@@ -463,8 +463,14 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
         sks, svs = list(cache.self_k_scale), list(cache.self_v_scale)
     T = sk[0].shape[2]
     pos_is_step = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2) == step
+    # Lazy (row-origin indexed) reorder is opt-in: it eliminates the physical
+    # cache permutation + carry copies, but the current indexed kernel's
+    # serial per-beam/per-head structure measured SLOWER end-to-end than the
+    # fused gather kernel (0.89 vs 0.44 ms/step attention on the v2-large
+    # bench; docs/performance.md) — revisit with a vectorized kernel.
     lazy = (int8 and beam_src is not None
-            and getattr(cache, "row_src", None) is not None)
+            and getattr(cache, "row_src", None) is not None
+            and os.environ.get("SEAMLESS_LAZY_REORDER") == "1")
     if lazy:
         # lazy beam reorder: inherit the source beam's row-origin history and
         # stamp this step's row as locally-written; the KV buffers themselves

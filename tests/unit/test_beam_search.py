@@ -272,10 +272,16 @@ def test_lazy_indexed_cache_matches_classic_reorder():
     opts = BeamSearchOptions(beam_size=K, max_len=14, min_len=3,
                              pad_idx=0, unk_idx=1, eos_idx=3)
 
+    import os
+
     cache = cache_fn(14, True)
     assert cache.row_src is not None
-    lazy = beam_search(step_fn, cache, prefix, jnp.array([2, 2], jnp.int32),
-                       opts, V, src_to_step=True)
+    os.environ["SEAMLESS_LAZY_REORDER"] = "1"
+    try:
+        lazy = beam_search(step_fn, cache, prefix, jnp.array([2, 2], jnp.int32),
+                           opts, V, src_to_step=True)
+    finally:
+        del os.environ["SEAMLESS_LAZY_REORDER"]
     classic = beam_search(step_fn, cache_fn(14, True), prefix,
                           jnp.array([2, 2], jnp.int32), opts, V,
                           cache_reorder=decoder_cache_beam_reorder)
