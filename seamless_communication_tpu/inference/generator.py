@@ -128,11 +128,20 @@ class UnitYGenerator:
             V = self.cfg.nllb.vocab_size
             K = opts.beam_size
 
+            # candidate mode: fused int8 vocab-projection + top-(2K+1) kernel
+            # (ops/kernels/vocab_topk.py) — exact, but incompatible with step
+            # processors (they edit arbitrary vocab columns) and nonzero unk
+            # penalty, so those fall back to the full-vocab step
+            cand = (banned is None and not topts.no_repeat_ngram_size
+                    and topts.unk_penalty == 0.0)
+
             def run(params, enc_seqs, enc_lens, prefix, prefix_len, banned_arr,
                     banned_lens):
                 enc = unity.EncoderOutput(
                     jnp.repeat(enc_seqs, K, axis=0), jnp.repeat(enc_lens, K, axis=0))
-                step_fn, cache_fn = unity.make_text_decode_step(params, self.cfg, enc)
+                step_fn, cache_fn = unity.make_text_decode_step(
+                    params, self.cfg, enc,
+                    candidates=(2 * K + 1) if cand else None)
                 procs = []
                 if banned_arr is not None:
                     procs.append(make_banned_sequence_processor(banned_arr,
@@ -145,7 +154,8 @@ class UnitYGenerator:
                 # cache pass (ops/transformer.py beam_src) — token-identical,
                 # ~1.4 ms/step faster on v2-large
                 return beam_search(step_fn, cache, prefix, prefix_len, opts, V,
-                                   processors=procs, src_to_step=True)
+                                   processors=procs, src_to_step=True,
+                                   candidate_mode=cand)
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]

@@ -103,6 +103,35 @@ def text_decoder_step(params: dict, tok_t: jax.Array, cache: DecoderCache,
     return tied_projection(params["embed"], h)[:, 0], cache
 
 
+def text_decoder_step_topk(params: dict, tok_t: jax.Array, cache: DecoderCache,
+                           step: jax.Array, cfg: NllbConfig, k: int, *,
+                           enc_padding_mask: Optional[jax.Array] = None,
+                           beam_src: Optional[jax.Array] = None):
+    """One KV-cached decode step in CANDIDATE form -> ((B, k) top log-probs,
+    (B, k) i32 vocab ids, cache). With an int8-quantized tied embedding the
+    vocab projection, logsumexp, and top-k fuse into one streaming Pallas pass
+    (ops/kernels/vocab_topk.py) — the (B, V) logits never materialize."""
+    from seamless_communication_tpu.ops.kernels.vocab_topk import (
+        _reference as _vocab_ref, int8_vocab_topk,
+    )
+
+    x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
+    h, cache = transformer_decoder_step(params["stack"], x, cache, step,
+                                        cfg.dec_cfg(),
+                                        enc_padding_mask=enc_padding_mask,
+                                        beam_src=beam_src)
+    h1 = h[:, 0]
+    embed = params["embed"]
+    if "embedding_i8" in embed:
+        vals, idx, logz = int8_vocab_topk(h1, embed["embedding_i8"],
+                                          embed["row_scale"], k)
+    else:
+        w = embed["embedding"]
+        vals, idx, logz = _vocab_ref(h1, w, jnp.ones((w.shape[0],), jnp.float32),
+                                     k)
+    return vals - logz[:, None], idx, cache
+
+
 def text_decoder_cache(params: dict, cfg: NllbConfig, enc_out: jax.Array,
                        max_len: int, *, kv_int8: bool = False,
                        per_layer: bool = True) -> DecoderCache:

@@ -91,8 +91,16 @@ def project(params: dict, features: jax.Array) -> jax.Array:
     return tied_projection(params["text_decoder"]["embed"], features)
 
 
-def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput):
-    """Build the beam-search step_fn + cache factory for the X2T view."""
+def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput, *,
+                          candidates: Optional[int] = None):
+    """Build the beam-search step_fn + cache factory for the X2T view.
+
+    ``candidates=k``: step_fn returns the per-beam top-k candidate triple for
+    beam_search(candidate_mode=True) via the fused vocab-projection+top-k
+    kernel (models/nllb/model.py text_decoder_step_topk)."""
+    from seamless_communication_tpu.models.nllb.model import (
+        text_decoder_step_topk,
+    )
     from seamless_communication_tpu.ops.transformer import unstack_layer_params
 
     mask = enc.padding_mask
@@ -101,9 +109,16 @@ def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput):
     dec_params = dict(params["text_decoder"])
     dec_params["stack"] = unstack_layer_params(dec_params["stack"])
 
-    def step_fn(tok_t, cache, step, beam_src=None):
-        return text_decoder_step(dec_params, tok_t, cache, step, cfg.nllb,
-                                 enc_padding_mask=mask, beam_src=beam_src)
+    if candidates is not None:
+        def step_fn(tok_t, cache, step, beam_src=None):
+            return text_decoder_step_topk(dec_params, tok_t, cache, step,
+                                          cfg.nllb, candidates,
+                                          enc_padding_mask=mask,
+                                          beam_src=beam_src)
+    else:
+        def step_fn(tok_t, cache, step, beam_src=None):
+            return text_decoder_step(dec_params, tok_t, cache, step, cfg.nllb,
+                                     enc_padding_mask=mask, beam_src=beam_src)
 
     def cache_fn(max_len: int, kv_int8: bool = False, per_layer: bool = True):
         return text_decoder_cache(params["text_decoder"], cfg.nllb, enc.seqs,

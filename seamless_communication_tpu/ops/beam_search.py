@@ -65,7 +65,8 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
                 opts: BeamSearchOptions, vocab_size: int, *,
                 processors: Sequence[Callable] = (),
                 cache_reorder: Optional[Callable] = None,
-                src_to_step: bool = False) -> BeamSearchResult:
+                src_to_step: bool = False,
+                candidate_mode: bool = False) -> BeamSearchResult:
     """Run beam search.
 
     ``prefix``: (B, P) forced target prefix (e.g. [eos, lang]); ``prefix_len``: (B,)
@@ -77,10 +78,22 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
     (B*K,) int32 ``flat_src`` on the beam axis of every per-beam array); pass it
     when the default axis detection (axis 0 if its size is B*K else axis 1) is
     ambiguous, e.g. a layer-stacked cache where L happens to equal B*K.
+
+    ``candidate_mode``: the step_fn returns ``(cand_lprobs (B*K, C),
+    cand_idx (B*K, C) i32, cache)`` — per-beam top-C log-probs instead of the
+    full (B*K, V) logits (ops/kernels/vocab_topk.py). EXACT for C >= 2K+1 when
+    there are no step processors and unk_penalty == 0: every global top-2K
+    continuation is inside its beam's top-(2K+1) even after min-length EOS
+    suppression removes one candidate. Requires ``src_to_step``.
     """
     B, P = prefix.shape
     K = opts.beam_size
     T = opts.max_len
+    if candidate_mode:
+        assert src_to_step and not processors, \
+            "candidate_mode requires src_to_step and no step processors"
+        assert opts.unk_penalty == 0.0, \
+            "candidate_mode is exact only with unk_penalty == 0"
 
     tokens0 = jnp.full((B, K, T), opts.pad_idx, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(
@@ -114,62 +127,94 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
     def body(s: _State):
         step = s.step
         tok_t = jax.lax.dynamic_slice_in_dim(s.tokens, step, 1, axis=2)  # (B,K,1)
-        if src_to_step:
-            # the PREVIOUS selection's beam reorder is fused into this step's
-            # cache access (transformer_decoder_step beam_src) — one cache
-            # pass instead of gather + row read-modify-write
-            logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step,
-                                    s.pending_src)
-        else:
-            logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step)
-        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        lprobs = lprobs.reshape(B, K, vocab_size)
-
         gen_pos = step + 1  # position being filled now
         in_prefix = gen_pos < prefix_len[:, None]                      # (B, 1)
-
-        # --- step processors (operate on the generated region only) ---
-        for proc in processors:
-            lprobs = proc(s.tokens, step, lprobs)
-
-        # unk penalty & min-length EOS suppression (cheap single-column edits)
-        lprobs = lprobs.at[:, :, opts.unk_idx].add(-opts.unk_penalty)
         gen_count = gen_pos - prefix_len[:, None]                       # tokens generated
         eos_banned = gen_count < opts.min_len
-        lprobs = lprobs.at[:, :, opts.eos_idx].set(
-            jnp.where(eos_banned, NEG_INF, lprobs[:, :, opts.eos_idx]))
         force_eos = gen_pos >= (T - 1)
 
-        # hard-max EOS forcing & prefix forcing build full-(B,K,V) selects —
-        # only active in the first P and last steps, so gate them behind a
-        # lax.cond (profiled at ~0.4 ms/step of VPU selects otherwise)
-        def _forced_lprobs(lp):
-            if_force = jnp.full((B, K, vocab_size), NEG_INF
-                                ).at[:, :, opts.eos_idx].set(0.0)
-            lp = jnp.where(force_eos, if_force, lp)
-            nxt = jax.lax.dynamic_slice_in_dim(
-                prefix, jnp.clip(gen_pos, 0, P - 1), 1, axis=1)         # (B, 1)
-            forced = jnp.where(
-                jnp.arange(vocab_size)[None, None, :] == nxt[:, :, None],
-                0.0, NEG_INF)
-            forced = jnp.broadcast_to(forced, (B, K, vocab_size))
-            return jnp.where(in_prefix[:, :, None], forced, lp)
+        if candidate_mode:
+            cand_lp, cand_ix, cache = step_fn(tok_t.reshape(B * K, 1),
+                                              s.cache, step, s.pending_src)
+            C = cand_lp.shape[-1]
+            lp = cand_lp.astype(jnp.float32).reshape(B, K, C)
+            ix = cand_ix.reshape(B, K, C)
+            # min-length EOS suppression on the candidate set
+            lp = jnp.where((ix == opts.eos_idx) & eos_banned[:, :, None],
+                           NEG_INF, lp)
 
-        lprobs = jax.lax.cond(jnp.any(in_prefix) | force_eos,
-                              _forced_lprobs, lambda lp: lp, lprobs)
+            # prefix / hard-max forcing replace the candidate set outright
+            def _forced(args):
+                lp, ix = args
+                nxt = jax.lax.dynamic_slice_in_dim(
+                    prefix, jnp.clip(gen_pos, 0, P - 1), 1, axis=1)     # (B,1)
+                ftok = jnp.where(force_eos, opts.eos_idx, nxt)          # (B,1)
+                first = jnp.arange(C)[None, None, :] == 0
+                f_lp = jnp.where(first, 0.0, NEG_INF)
+                f_ix = jnp.broadcast_to(ftok[:, :, None], (B, K, C))
+                use = in_prefix[:, :, None] | force_eos
+                return (jnp.where(use, f_lp, lp).astype(jnp.float32),
+                        jnp.where(use, f_ix, ix))
 
-        # dead beams must not spawn candidates (their only candidate: pad, NEG_INF)
-        cand = s.scores[:, :, None] + lprobs                            # (B,K,V)
-        flat = cand.reshape(B, K * vocab_size)
-        if os.environ.get("SEAMLESS_APPROX_TOPK"):
-            # TPU-optimized partial reduction (jax.lax.approx_max_k); exact
-            # for k=2K with recall_target=1.0 per its TPU lowering contract
-            top_scores, top_idx = jax.lax.approx_max_k(
-                flat, 2 * K, recall_target=1.0, aggregate_to_topk=True)
+            lp, ix = jax.lax.cond(jnp.any(in_prefix) | force_eos,
+                                  _forced, lambda a: a, (lp, ix))
+            cand = s.scores[:, :, None] + lp                            # (B,K,C)
+            flat = cand.reshape(B, K * C)
+            top_scores, sel = jax.lax.top_k(flat, 2 * K)                # (B,2K)
+            src_beam = sel // C
+            tok = jnp.take_along_axis(ix.reshape(B, K * C), sel, axis=1
+                                      ).astype(jnp.int32)
         else:
-            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)            # (B,2K)
-        src_beam = top_idx // vocab_size
-        tok = (top_idx % vocab_size).astype(jnp.int32)
+            if src_to_step:
+                # the PREVIOUS selection's beam reorder is fused into this
+                # step's cache access (transformer_decoder_step beam_src) —
+                # one cache pass instead of gather + row read-modify-write
+                logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step,
+                                        s.pending_src)
+            else:
+                logits, cache = step_fn(tok_t.reshape(B * K, 1), s.cache, step)
+            lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lprobs = lprobs.reshape(B, K, vocab_size)
+
+            # --- step processors (operate on the generated region only) ---
+            for proc in processors:
+                lprobs = proc(s.tokens, step, lprobs)
+
+            # unk penalty & min-length EOS suppression (single-column edits)
+            lprobs = lprobs.at[:, :, opts.unk_idx].add(-opts.unk_penalty)
+            lprobs = lprobs.at[:, :, opts.eos_idx].set(
+                jnp.where(eos_banned, NEG_INF, lprobs[:, :, opts.eos_idx]))
+
+            # hard-max EOS forcing & prefix forcing build full-(B,K,V)
+            # selects — only active in the first P and last steps, so gate
+            # them behind a lax.cond (~0.4 ms/step of VPU selects otherwise)
+            def _forced_lprobs(lp):
+                if_force = jnp.full((B, K, vocab_size), NEG_INF
+                                    ).at[:, :, opts.eos_idx].set(0.0)
+                lp = jnp.where(force_eos, if_force, lp)
+                nxt = jax.lax.dynamic_slice_in_dim(
+                    prefix, jnp.clip(gen_pos, 0, P - 1), 1, axis=1)     # (B, 1)
+                forced = jnp.where(
+                    jnp.arange(vocab_size)[None, None, :] == nxt[:, :, None],
+                    0.0, NEG_INF)
+                forced = jnp.broadcast_to(forced, (B, K, vocab_size))
+                return jnp.where(in_prefix[:, :, None], forced, lp)
+
+            lprobs = jax.lax.cond(jnp.any(in_prefix) | force_eos,
+                                  _forced_lprobs, lambda lp: lp, lprobs)
+
+            # dead beams must not spawn candidates
+            cand = s.scores[:, :, None] + lprobs                        # (B,K,V)
+            flat = cand.reshape(B, K * vocab_size)
+            if os.environ.get("SEAMLESS_APPROX_TOPK"):
+                # TPU-optimized partial reduction (jax.lax.approx_max_k);
+                # exact for k=2K with recall_target=1.0 per its TPU contract
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    flat, 2 * K, recall_target=1.0, aggregate_to_topk=True)
+            else:
+                top_scores, top_idx = jax.lax.top_k(flat, 2 * K)        # (B,2K)
+            src_beam = top_idx // vocab_size
+            tok = (top_idx % vocab_size).astype(jnp.int32)
         is_eos = (tok == opts.eos_idx) & ~jnp.broadcast_to(in_prefix, (B, 2 * K))
 
         # ----- finalize EOS candidates into the fin_* set -----

@@ -288,3 +288,43 @@ def test_lazy_indexed_cache_matches_classic_reorder():
     assert np.array_equal(np.asarray(classic.tokens), np.asarray(lazy.tokens))
     np.testing.assert_allclose(np.asarray(classic.scores),
                                np.asarray(lazy.scores), rtol=1e-5, atol=1e-6)
+
+
+def test_candidate_mode_matches_full_vocab():
+    """candidate_mode (per-beam top-(2K+1) from the fused vocab kernel path)
+    must produce identical tokens and scores to the full-vocab beam step —
+    including through min-length EOS suppression, prefix forcing, and the
+    hard-max EOS force (ops/kernels/vocab_topk.py exactness contract)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.ops.beam_search import (
+        BeamSearchOptions, beam_search,
+    )
+
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    K, V = 3, cfg.nllb.vocab_size
+    rng = np.random.default_rng(0)
+    enc = unity.EncoderOutput(
+        jnp.asarray(rng.standard_normal((2 * K, 9, cfg.nllb.dim)), jnp.float32),
+        jnp.full((2 * K,), 9, jnp.int32))
+    prefix = jnp.array([[2, 5], [2, 6]], jnp.int32)
+    opts = BeamSearchOptions(beam_size=K, max_len=14, min_len=3,
+                             pad_idx=0, unk_idx=1, eos_idx=3)
+
+    step_full, cache_fn = unity.make_text_decode_step(params, cfg, enc)
+    full = beam_search(step_full, cache_fn(14, True), prefix,
+                       jnp.array([2, 2], jnp.int32), opts, V, src_to_step=True)
+
+    step_cand, cache_fn2 = unity.make_text_decode_step(params, cfg, enc,
+                                                       candidates=2 * K + 1)
+    cand = beam_search(step_cand, cache_fn2(14, True), prefix,
+                       jnp.array([2, 2], jnp.int32), opts, V,
+                       src_to_step=True, candidate_mode=True)
+    assert np.array_equal(np.asarray(full.tokens), np.asarray(cand.tokens))
+    np.testing.assert_allclose(np.asarray(full.scores),
+                               np.asarray(cand.scores), rtol=1e-5, atol=1e-6)
