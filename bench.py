@@ -116,16 +116,12 @@ def main() -> None:
     def stage_beam(params, enc, prefix):
         enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
                                      jnp.repeat(enc.lengths, K, axis=0))
-        # candidate mode: fused int8 vocab-projection + top-(2K+1) Pallas pass
-        # (exact; ops/kernels/vocab_topk.py)
-        step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk,
-                                                        candidates=2 * K + 1)
+        step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
         opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
                                  min_len=TEXT_MAX_LEN - 8,
                                  pad_idx=0, unk_idx=1, eos_idx=3)
         res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8), prefix,
-                          jnp.array([2], jnp.int32), opts, V, src_to_step=True,
-                          candidate_mode=True)
+                          jnp.array([2], jnp.int32), opts, V, src_to_step=True)
         return res.tokens[:, 0], res.lengths[:, 0]
 
     def stage_nar_voc(params, voc_params, tokens, tok_lens, enc,

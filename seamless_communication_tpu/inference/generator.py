@@ -128,11 +128,15 @@ class UnitYGenerator:
             V = self.cfg.nllb.vocab_size
             K = opts.beam_size
 
-            # candidate mode: fused int8 vocab-projection + top-(2K+1) kernel
-            # (ops/kernels/vocab_topk.py) — exact, but incompatible with step
-            # processors (they edit arbitrary vocab columns) and nonzero unk
-            # penalty, so those fall back to the full-vocab step
-            cand = (banned is None and not topts.no_repeat_ngram_size
+            # candidate mode (fused int8 vocab-projection + top-(2K+1),
+            # ops/kernels/vocab_topk.py) is exact but the current Mosaic
+            # kernel measured slower than XLA's fused projection (30.6 vs
+            # ~0.5 ms/call, docs/performance.md) — opt-in until the kernel's
+            # per-tile top-k is restructured. Incompatible with step
+            # processors / nonzero unk penalty regardless.
+            import os
+            cand = (os.environ.get("SEAMLESS_CANDIDATE_BEAM") == "1"
+                    and banned is None and not topts.no_repeat_ngram_size
                     and topts.unk_penalty == 0.0)
 
             def run(params, enc_seqs, enc_lens, prefix, prefix_len, banned_arr,
