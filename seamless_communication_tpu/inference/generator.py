@@ -210,14 +210,23 @@ class UnitYGenerator:
             K = opts.beam_size
 
             def run(params, feats, lens, prefix, prefix_len):
+                from seamless_communication_tpu.ops.transformer import (
+                    unstack_layer_params,
+                )
+
                 enc, mask = ar_t2u_encode(params["t2u"], tcfg, feats, lens)
                 enc_bk = jnp.repeat(enc, K, axis=0)
                 mask_bk = jnp.repeat(mask, K, axis=0)
                 cache = ar_t2u_cache(params["t2u"], tcfg, enc_bk, max_len,
                                      kv_int8)
+                # hoist layer weight slices out of the decode while-loop
+                # (same win as the text beam, ops/transformer.py)
+                t2u_params = dict(params["t2u"])
+                t2u_params["decoder"] = unstack_layer_params(
+                    t2u_params["decoder"])
 
                 def step_fn(tok_t, cache, step, beam_src=None):
-                    return ar_t2u_decoder_step(params["t2u"], tok_t, cache, step,
+                    return ar_t2u_decoder_step(t2u_params, tok_t, cache, step,
                                                tcfg, enc_padding_mask=mask_bk,
                                                beam_src=beam_src)
 

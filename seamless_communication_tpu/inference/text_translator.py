@@ -46,10 +46,17 @@ class TextTranslator:
                 unk_idx=self.cfg.unk_idx, eos_idx=self.cfg.eos_idx)
 
             def run(enc_p, dec_p, ids, lens, prefix):
+                from seamless_communication_tpu.ops.transformer import (
+                    unstack_layer_params,
+                )
+
                 enc_out, _ = text_encoder_forward(enc_p, ids, lens, self.cfg)
                 enc_bk = jnp.repeat(enc_out, K, axis=0)
                 mask = jnp.repeat(
                     jnp.arange(ids.shape[1])[None, :] < lens[:, None], K, axis=0)
+                # hoist layer weight slices out of the decode while-loop
+                dec_p = dict(dec_p)
+                dec_p["stack"] = unstack_layer_params(dec_p["stack"])
 
                 def step_fn(tok_t, cache, step, beam_src=None):
                     return text_decoder_step(dec_p, tok_t, cache, step, self.cfg,
