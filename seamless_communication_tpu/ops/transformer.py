@@ -515,6 +515,23 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
             svs[i] = jax.lax.dynamic_update_slice(
                 svs[i], vsc[:, :, None], (0, 0, step))
             y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
+        elif beam_src is not None and int8 and _pallas_decode_enabled():
+            # Pallas fast path: gather + row insert + attention in ONE VMEM
+            # pass per beam (ops/kernels/decode_attention.py)
+            from seamless_communication_tpu.ops.kernels.decode_attention import (
+                fused_decode_self_attention_int8,
+            )
+            ap = lp["self_attn"]
+            qh = attn_ops._split_heads(linear(ap["q_proj"], z),
+                                       cfg.num_heads)[:, :, 0]
+            kh = attn_ops._split_heads(linear(ap["k_proj"], z),
+                                       cfg.num_heads)[:, :, 0]
+            vh = attn_ops._split_heads(linear(ap["v_proj"], z),
+                                       cfg.num_heads)[:, :, 0]
+            o, sk[i], sv[i], sks[i], svs[i] = fused_decode_self_attention_int8(
+                qh, kh, vh, sk[i], sv[i], sks[i], svs[i], step, beam_src,
+                use_pallas=True)
+            y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
         elif int8:
             if beam_src is not None:
                 # fused reorder: the gathered history feeds both the attention
