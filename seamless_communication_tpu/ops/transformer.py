@@ -201,9 +201,16 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
                 lp["cross_attn"], enc_out, H) for lp in layer_ps]
             zs = lambda: tuple(jnp.zeros(shape[1:4], jnp.float32)
                                for _ in range(L))
-            # identity row-origin table: lazy beam reorder (see DecoderCacheQ8)
-            row_src = jnp.broadcast_to(
-                jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
+            # identity row-origin table for opt-in lazy beam reorder (see
+            # DecoderCacheQ8.row_src). Only materialized when the lazy path is
+            # active: a row_src-carrying cache must never be passed through a
+            # PHYSICAL beam gather that also permutes the table (double
+            # indirection) — keeping it None by default makes the classic
+            # reorder paths (incl. beam_search's axis heuristic) safe.
+            row_src = None
+            if os.environ.get("SEAMLESS_LAZY_REORDER") == "1":
+                row_src = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
             return DecoderCacheQ8(
                 zk(), zk(), zs(), zs(),
                 tuple(c.k for c in cross), tuple(c.v for c in cross),

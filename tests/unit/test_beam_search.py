@@ -274,10 +274,10 @@ def test_lazy_indexed_cache_matches_classic_reorder():
 
     import os
 
-    cache = cache_fn(14, True)
-    assert cache.row_src is not None
     os.environ["SEAMLESS_LAZY_REORDER"] = "1"
     try:
+        cache = cache_fn(14, True)
+        assert cache.row_src is not None
         lazy = beam_search(step_fn, cache, prefix, jnp.array([2, 2], jnp.int32),
                            opts, V, src_to_step=True)
     finally:
