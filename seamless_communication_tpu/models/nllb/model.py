@@ -112,7 +112,7 @@ def text_decoder_step_topk(params: dict, tok_t: jax.Array, cache: DecoderCache,
     vocab projection, logsumexp, and top-k fuse into one streaming Pallas pass
     (ops/kernels/vocab_topk.py) — the (B, V) logits never materialize."""
     from seamless_communication_tpu.ops.kernels.vocab_topk import (
-        _reference as _vocab_ref, int8_vocab_topk,
+        _reference as _vocab_ref, int8_vocab_topk_v2,
     )
 
     x = embedding_frontend(params["embed"], tok_t, cfg.dec_cfg(), start_step=step)
@@ -123,8 +123,8 @@ def text_decoder_step_topk(params: dict, tok_t: jax.Array, cache: DecoderCache,
     h1 = h[:, 0]
     embed = params["embed"]
     if "embedding_i8" in embed:
-        vals, idx, logz = int8_vocab_topk(h1, embed["embedding_i8"],
-                                          embed["row_scale"], k)
+        vals, idx, logz = int8_vocab_topk_v2(h1, embed["embedding_i8"],
+                                             embed["row_scale"], k)
     else:
         w = embed["embedding"]
         vals, idx, logz = _vocab_ref(h1, w, jnp.ones((w.shape[0],), jnp.float32),

@@ -147,3 +147,119 @@ def int8_vocab_topk(x, table_i8, row_scale, k: int, *,
     top_vals, sel = jax.lax.top_k(flat_vals, k)
     top_idx = jnp.take_along_axis(flat_idx, sel, axis=1)
     return top_vals, top_idx, logz
+
+
+# ---------------------------------------------------------------------------
+# v2: block-max scheme — no serial in-kernel selection
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel's per-tile ITERATIVE top-k (k dependent max/mask rounds)
+# measured ~0.24 ms of fixed overhead per tile (126 tiles -> 30.6 ms/call).
+# v2 keeps the kernel fully vectorized: it streams the table, writes the
+# (N, V) logits (one 5 MB HBM write — cheap), the per-tile logsumexp stats,
+# and per-128-column BLOCK MAXIMA. Selection happens in XLA on the tiny
+# (N, V/128) block-max matrix:
+#
+#   top-k blocks by max cover all top-k elements (if a top-k element's block
+#   were not selected, k blocks would each hold an element above it — a
+#   contradiction) -> gather those k 128-wide blocks -> top-k of k*128.
+
+_BLK = 128
+
+
+def _kernel_v2(x_ref, t_ref, s_ref, logits_ref, bmax_ref, m_ref, se_ref, *,
+               tile: int, v_total: int):
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+    x = x_ref[...]
+    qt = t_ref[...]
+    sc = s_ref[...]
+    N = x.shape[0]
+
+    l = jax.lax.dot_general(x, qt.astype(x.dtype), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    l = l * sc[None, :]
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (N, tile), 1) + g * tile
+    l = jnp.where(gcol < v_total, l, NEG)
+
+    m = jnp.max(l, axis=1)
+    se = jnp.sum(jnp.where(gcol < v_total, jnp.exp(l - m[:, None]), 0.0),
+                 axis=1)
+    logits_ref[...] = l
+    bmax_ref[...] = jnp.max(l.reshape(N, tile // _BLK, _BLK), axis=2)
+    m_ref[...] = m[None, :, None]
+    se_ref[...] = se[None, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _pallas_call_v2(x, table, row_scale, *, tile: int, interpret=False):
+    from jax.experimental import pallas as pl
+
+    V, D = table.shape
+    N = x.shape[0]
+    G = -(-V // tile)
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, tile=tile, v_total=V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((N, D), lambda g: (0, 0)),
+            pl.BlockSpec((tile, D), lambda g: (g, 0)),
+            pl.BlockSpec((tile,), lambda g: (g,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, tile), lambda g: (0, g)),
+            pl.BlockSpec((N, tile // _BLK), lambda g: (0, g)),
+            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, G * tile), jnp.float32),
+            jax.ShapeDtypeStruct((N, G * tile // _BLK), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * V * D,
+            bytes_accessed=V * D + 4 * V + 4 * N * V,
+            transcendentals=N * V,
+        ),
+        interpret=interpret,
+    )(x, table, row_scale)
+
+
+def int8_vocab_topk_v2(x, table_i8, row_scale, k: int, *,
+                       use_pallas: bool | None = None,
+                       tile: int = 8192, interpret: bool = False):
+    """Block-max variant of :func:`int8_vocab_topk` (same contract)."""
+    import os
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("SEAMLESS_PALLAS_VOCAB") != "0")
+    if not use_pallas:
+        return _reference(x, table_i8, row_scale, k)
+
+    N = x.shape[0]
+    V = table_i8.shape[0]
+    logits, bmax, m, se = _pallas_call_v2(x, table_i8, row_scale, tile=tile,
+                                          interpret=interpret)
+    m = m[..., 0].T
+    se = se[..., 0].T
+    big = jnp.max(m, axis=1)
+    logz = big + jnp.log(jnp.sum(se * jnp.exp(m - big[:, None]), axis=1))
+
+    # top-k candidate BLOCKS (ties included by construction: block max repeats
+    # rank below k are irrelevant — see exactness argument above). Sort the
+    # selected blocks ascending so the final top_k's positional tie-break
+    # resolves equal values to the LOWEST vocab index (lax.top_k contract).
+    kb = min(k, bmax.shape[1])
+    _, blk_sel = jax.lax.top_k(bmax, kb)                      # (N, kb) block ids
+    blk_sel = jnp.sort(blk_sel, axis=-1)
+    base = blk_sel[..., None] * _BLK + jnp.arange(_BLK)[None, None, :]
+    cand_idx = base.reshape(N, kb * _BLK)                     # (N, kb*128)
+    cand = jnp.take_along_axis(logits, cand_idx, axis=1)
+    # out-of-range candidates (padded tail blocks) already carry NEG
+    top_vals, sel = jax.lax.top_k(cand, k)
+    top_idx = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
+    return top_vals, top_idx, logz

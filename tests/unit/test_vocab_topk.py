@@ -64,3 +64,33 @@ def test_lprobs_are_exact_log_probs(data):
     for n in range(N):
         np.testing.assert_allclose(lp[n], full[n][np.asarray(idx)[n]],
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("tile", [128, 256])
+def test_v2_blockmax_matches_reference(data, tile):
+    """v2 (vectorized block-max selection) must be exact like v1."""
+    from seamless_communication_tpu.ops.kernels.vocab_topk import (
+        int8_vocab_topk_v2,
+    )
+    d = data
+    ref_v, ref_i, ref_z = _reference(d["x"], d["table"], d["scale"], K)
+    got_v, got_i, got_z = int8_vocab_topk_v2(d["x"], d["table"], d["scale"], K,
+                                             use_pallas=True, tile=tile,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(ref_z), np.asarray(got_z), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_v), np.asarray(got_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
+def test_v2_tie_break_lowest_index(data):
+    from seamless_communication_tpu.ops.kernels.vocab_topk import (
+        int8_vocab_topk_v2,
+    )
+    d = data
+    table2 = jnp.asarray(np.tile(np.asarray(d["table"][:100]), (10, 1)), jnp.int8)
+    scale2 = jnp.asarray(np.tile(np.asarray(d["scale"][:100]), 10), jnp.float32)
+    r = _reference(d["x"], table2, scale2, K)
+    g = int8_vocab_topk_v2(d["x"], table2, scale2, K, use_pallas=True,
+                           tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r[1]), np.asarray(g[1]))
