@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from seamless_communication_tpu.ops import attention as attn_ops
 from seamless_communication_tpu.ops.attention import KVCache
-from seamless_communication_tpu.ops.masks import padding_bias
+from seamless_communication_tpu.ops.masks import causal_mask, padding_bias
 from seamless_communication_tpu.ops.modules import (
     embedding_init, layer_norm, layer_norm_init, linear, linear_init,
 )
@@ -278,12 +278,15 @@ def monotonic_write_burst(params: dict, cache: MonotonicCache, start_step: jax.A
 def monotonic_encode_and_prefill(params: dict, tokens: jax.Array,
                                  n_tokens: jax.Array, enc_out: jax.Array,
                                  max_len: int, cfg: MonotonicDecoderConfig, *,
-                                 enc_padding_mask=None):
+                                 enc_padding_mask=None, parallel: bool = True):
     """Cache build + context prefill fused into one program (one device call per
-    streaming chunk instead of two)."""
+    streaming chunk instead of two). ``parallel=True`` (default) uses the
+    teacher-forced full-sequence prefill (one weight pass instead of one per
+    context token); ``parallel=False`` keeps the sequential scan."""
     cache = monotonic_decoder_cache(params, cfg, enc_out, max_len)
-    return monotonic_prefill(params, tokens, n_tokens, cache, cfg,
-                             enc_padding_mask=enc_padding_mask)
+    fn = monotonic_prefill_parallel if parallel else monotonic_prefill
+    return fn(params, tokens, n_tokens, cache, cfg,
+              enc_padding_mask=enc_padding_mask)
 
 
 def monotonic_prefill(params: dict, tokens: jax.Array, n_tokens: jax.Array,
@@ -325,3 +328,68 @@ def monotonic_prefill(params: dict, tokens: jax.Array, n_tokens: jax.Array,
     (cache, logits, pcs), feats = jax.lax.scan(
         body, (cache, dummy_logits, dummy_pcs), jnp.arange(T))
     return logits, feats.swapaxes(0, 1), pcs, cache
+
+
+def monotonic_prefill_parallel(params: dict, tokens: jax.Array,
+                               n_tokens: jax.Array, cache: MonotonicCache,
+                               cfg: MonotonicDecoderConfig, *,
+                               enc_padding_mask=None):
+    """Teacher-forced FULL-SEQUENCE prefill — mathematically identical to the
+    sequential :func:`monotonic_prefill` (causal self-attention computes the
+    same per-position outputs) but reads the ~1B-param decoder weights ONCE
+    instead of once per context token. The streaming agents re-decode their
+    whole target prefix every chunk (reference online_text_decoder.py:317), so
+    this turns the per-chunk prefill from O(ctx) weight passes into O(1) —
+    the dominant cost of a 320 ms streaming chunk at long contexts.
+
+    Same contract/invariants as monotonic_prefill: returns (last logits (B,V),
+    features (B,T,D), last p_choose (B,L*H,Sp), cache with rows [0,T) written;
+    rows >= n_tokens hold garbage that callers must overwrite before reading
+    by resuming decode at exactly step = n_tokens)."""
+    B, T = tokens.shape
+    H = cfg.num_heads
+    x = embedding_frontend(params["embed"], tokens, cfg.dec_cfg())
+    cross_bias = padding_bias(enc_padding_mask)
+    cbias = causal_mask(T)[None, None]                        # (1,1,T,T)
+    last = jnp.clip(n_tokens - 1, 0, T - 1)
+
+    # cross-attention uses the per-layer precomputed K/V from the cache —
+    # threaded through the scan alongside the layer params
+    def full_body(h, scanned):
+        layer_p, ck, cv = scanned
+        z = layer_norm(layer_p["self_attn_layer_norm"], h)
+        ap = layer_p["self_attn"]
+        q = attn_ops._split_heads(linear(ap["q_proj"], z), H)
+        k = attn_ops._split_heads(linear(ap["k_proj"], z), H)
+        v = attn_ops._split_heads(linear(ap["v_proj"], z), H)
+        y = attn_ops._sdpa(q, k, v, cbias)
+        h = h + linear(ap["output_proj"], attn_ops._merge_heads(y))
+
+        z = layer_norm(layer_p["cross_attn_layer_norm"], h)
+        z_last = jax.lax.dynamic_slice_in_dim(z, last, 1, axis=1)
+        pc = p_choose(layer_p["p_choose"], z_last, cache.pooled_keys, cfg)
+        cp = layer_p["cross_attn"]
+        cq = attn_ops._split_heads(linear(cp["q_proj"], z), H)
+        co = attn_ops._sdpa(cq, ck, cv, cross_bias)
+        h = h + linear(cp["output_proj"], attn_ops._merge_heads(co))
+
+        z = layer_norm(layer_p["ffn"]["layer_norm"], h)
+        z = jax.nn.relu(linear(layer_p["ffn"]["inner_proj"], z))
+        h = h + linear(layer_p["ffn"]["output_proj"], z)
+        return h, (k.astype(cache.self_k.dtype), v.astype(cache.self_v.dtype),
+                   pc[:, :, 0, :])
+
+    out, (ks, vs, pcs) = jax.lax.scan(
+        full_body, x, (params["layers"], cache.cross_k, cache.cross_v))
+    out = layer_norm(params["layer_norm"], out)
+    out_last = jax.lax.dynamic_slice_in_dim(out, last, 1, axis=1)
+    logits = tied_projection(params["embed"], out_last)[:, 0]
+
+    # (L, B, H, Sp) -> (B, L*H, Sp), matching monotonic_decode_step
+    L, B2, Hh, Sp = pcs.shape
+    pcs = pcs.transpose(1, 0, 2, 3).reshape(B, L * Hh, Sp)
+    nk = jax.lax.dynamic_update_slice(cache.self_k, ks, (0, 0, 0, 0, 0))
+    nv = jax.lax.dynamic_update_slice(cache.self_v, vs, (0, 0, 0, 0, 0))
+    new_cache = MonotonicCache(nk, nv, cache.cross_k, cache.cross_v,
+                               cache.pooled_keys)
+    return logits, out, pcs, new_cache

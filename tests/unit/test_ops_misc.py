@@ -97,3 +97,50 @@ def test_kv_cache_int8_resolution():
     assert _resolve_kv_int8(SequenceGeneratorOptions(kv_cache_int8=False)) is False
     auto = _resolve_kv_int8(SequenceGeneratorOptions())
     assert auto == (jax.default_backend() == "tpu")
+
+
+def test_monotonic_parallel_prefill_matches_sequential():
+    """Teacher-forced full-sequence prefill == sequential per-token scan on the
+    valid region (same logits/p_choose/features/cache rows) — the streaming
+    chunk's O(ctx)->O(1) weight-pass optimization must be exact
+    (models/monotonic/model.py monotonic_prefill_parallel)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.monotonic.model import (
+        MonotonicDecoderConfig, monotonic_decoder_cache, monotonic_decoder_init,
+        monotonic_prefill, monotonic_prefill_parallel,
+    )
+
+    cfg = MonotonicDecoderConfig(model_dim=32, num_layers=3, num_heads=4,
+                                 ffn_inner_dim=64, vocab_size=60,
+                                 pre_decision_ratio=2)
+    params = monotonic_decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T, S, MAXLEN = 2, 9, 12, 24
+    enc = jnp.asarray(rng.standard_normal((B, S, 32)), jnp.float32)
+    enc_mask = jnp.asarray(np.array([[True] * S, [True] * 8 + [False] * 4]))
+    tokens = jnp.asarray(rng.integers(4, 60, (B, T)), jnp.int32)
+    n_tokens = jnp.asarray(7, jnp.int32)
+
+    cache0 = monotonic_decoder_cache(params, cfg, enc, MAXLEN)
+    l1, f1, p1, c1 = monotonic_prefill(params, tokens, n_tokens, cache0, cfg,
+                                       enc_padding_mask=enc_mask)
+    l2, f2, p2, c2 = monotonic_prefill_parallel(params, tokens, n_tokens,
+                                                cache0, cfg,
+                                                enc_padding_mask=enc_mask)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-5,
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5,
+                               rtol=2e-5)
+    n = int(n_tokens)
+    np.testing.assert_allclose(np.asarray(f1[:, :n]), np.asarray(f2[:, :n]),
+                               atol=2e-5, rtol=2e-5)
+    # cache rows [0, n) must match (rows >= n are garbage in both variants)
+    np.testing.assert_allclose(np.asarray(c1.self_k[:, :, :, :n]),
+                               np.asarray(c2.self_k[:, :, :, :n]),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1.self_v[:, :, :, :n]),
+                               np.asarray(c2.self_v[:, :, :, :n]),
+                               atol=2e-5, rtol=2e-5)
