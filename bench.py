@@ -271,7 +271,7 @@ def main() -> None:
         gc.collect()
         tcfg = get_arch("medium")
         opt = optax.adafactor(1e-4)
-        tb, tt = int(os.environ.get("BENCH_TRAIN_B", "24")), 128
+        tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128
         tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
                                    dtype=jnp.bfloat16)
         topt = opt.init(tparams)
@@ -373,7 +373,14 @@ def main() -> None:
         )
         utts = [np.asarray(rng.standard_normal(int(sec * 16000)),
                            np.float32) * 0.1 for sec in (4.0, 6.5, 10.0)]
-        lat = evaluate_streaming(lambda: pipe, utts, tgt_lang="eng",
+        # random weights never clear the default p_choose threshold (no
+        # emissions -> vacuous AL); threshold 0 makes the policy write at
+        # every opportunity, so AL/LAAL measure the pipeline's structural
+        # emission latency (chunk-indexed, wall-clock independent)
+        lat_pipe = build_s2t_pipeline(sparams, scfg, mono_params, mono_cfg,
+                                      tok, tgt_lang="eng",
+                                      decision_threshold=0.0)
+        lat = evaluate_streaming(lambda: lat_pipe, utts, tgt_lang="eng",
                                  segment_size_ms=320)
         extra["stream_AL_ms"] = round(lat["AL_ms"], 1)
         extra["stream_LAAL_ms"] = round(lat["LAAL_ms"], 1)
