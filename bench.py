@@ -406,12 +406,17 @@ def main() -> None:
         )
         utts = [np.asarray(rng.standard_normal(int(sec * 16000)),
                            np.float32) * 0.1 for sec in (4.0, 6.5, 10.0)]
-        # random weights never clear the default p_choose threshold (no
-        # emissions -> vacuous AL); threshold 0 makes the policy write at
-        # every opportunity, so AL/LAAL measure the pipeline's structural
-        # emission latency (chunk-indexed, wall-clock independent)
-        lat_pipe = build_s2t_pipeline(sparams, scfg, mono_params, mono_cfg,
-                                      tok, tgt_lang="eng",
+        # random weights never clear the default p_choose threshold and the
+        # 256k-vocab argmax never lands on a real tokenizer piece (no words ->
+        # vacuous AL); a tokenizer-sized vocab + threshold 0 makes the policy
+        # emit real words at every opportunity, so AL/LAAL measure the
+        # pipeline's structural emission latency (chunk-indexed, wall-clock
+        # independent; reference cli/streaming/evaluate.py:70)
+        mono_cfg_small = mono_cfg._replace(vocab_size=len(tok.spm) + 1 + 1)
+        mono_params_small = monotonic_decoder_init(jax.random.PRNGKey(6),
+                                                   mono_cfg_small, dtype=dtype)
+        lat_pipe = build_s2t_pipeline(sparams, scfg, mono_params_small,
+                                      mono_cfg_small, tok, tgt_lang="eng",
                                       decision_threshold=0.0)
         lat = evaluate_streaming(lambda: lat_pipe, utts, tgt_lang="eng",
                                  segment_size_ms=320)
