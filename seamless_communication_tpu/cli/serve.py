@@ -67,8 +67,16 @@ def main() -> None:
     import threading
 
     if args.warmup:
+        # warm the task specs CONCURRENTLY: each predict compiles its own
+        # stage programs (encode / beam / redecode / t2u / vocoder are
+        # separate jits in UnitYGenerator), and the remote XLA service
+        # compiles them in parallel — same cold-start win as the staged-AOT
+        # bench (docs/performance.md "Cold start")
+        from concurrent.futures import ThreadPoolExecutor
+
         import numpy as np
-        for spec in args.warmup.split(","):
+
+        def warm(spec):
             parts = spec.strip().split(":")
             task, tgt = parts[0], parts[1]
             src = parts[2] if len(parts) > 2 else None
@@ -76,6 +84,11 @@ def main() -> None:
                        else np.zeros(16000, np.float32))
             logging.getLogger("seamless_serve").info("warmup %s", spec)
             translator.predict([payload], task, tgt, src_lang=src)
+
+        specs = args.warmup.split(",")
+        with ThreadPoolExecutor(max_workers=min(4, len(specs))) as ex:
+            for f in [ex.submit(warm, s) for s in specs]:
+                f.result()
 
     server = serve(translator, host=args.host, port=args.port,
                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
