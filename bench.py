@@ -415,9 +415,18 @@ def main() -> None:
         mono_cfg_small = mono_cfg._replace(vocab_size=len(tok.spm) + 1 + 1)
         mono_params_small = monotonic_decoder_init(jax.random.PRNGKey(6),
                                                    mono_cfg_small, dtype=dtype)
+        # random weights argmax a fixed (often non-word) id; plant +-u rows on
+        # two WORD ids so every burst step emits a real word and the
+        # detokenizer flushes — AL/LAAL then measure the pipeline's structural
+        # emission latency under the EMMA policy at threshold 0
+        emb = np.zeros((mono_cfg_small.vocab_size, mono_cfg.model_dim),
+                       np.float32)
+        u = np.asarray(rng.standard_normal(mono_cfg.model_dim), np.float32)
+        emb[4], emb[5] = u, -u                     # two word pieces
+        mono_params_small["embed"]["embedding"] = jnp.asarray(emb, dtype)
         lat_pipe = build_s2t_pipeline(sparams, scfg, mono_params_small,
                                       mono_cfg_small, tok, tgt_lang="eng",
-                                      decision_threshold=0.0)
+                                      decision_threshold=0.0, min_gen_len=12)
         lat = evaluate_streaming(lambda: lat_pipe, utts, tgt_lang="eng",
                                  segment_size_ms=320)
         extra["stream_AL_ms"] = round(lat["AL_ms"], 1)

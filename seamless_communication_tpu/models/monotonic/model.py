@@ -211,7 +211,7 @@ def monotonic_write_burst(params: dict, cache: MonotonicCache, start_step: jax.A
                           p_choose_start_layer: int, sp_valid: jax.Array,
                           eos_idx: int, max_len: jax.Array, n_context: jax.Array,
                           max_writes: int, source_finished: bool,
-                          enc_padding_mask=None):
+                          enc_padding_mask=None, min_gen_len: int = 0):
     """Run the EMMA write loop ON DEVICE: starting from the prefill's last
     logits/p_choose, greedily emit up to ``max_writes`` tokens while the p_choose
     statistic clears ``decision_threshold`` (reference policy loop,
@@ -241,9 +241,15 @@ def monotonic_write_burst(params: dict, cache: MonotonicCache, start_step: jax.A
 
     def body(s):
         cache, logits, pcs, n, step, done, finished, toks, feats = s
-        index = jnp.argmax(logits[0]).astype(jnp.int32)
-        prob = stat(pcs)
         total = n_context - 2 + n  # generated tokens so far (minus [eos, lang])
+        # optional minimum generation length (off by default — the reference
+        # streaming policy has no min length): suppress EOS until satisfied
+        lg = logits[0]
+        if min_gen_len > 0:
+            lg = jnp.where((jnp.arange(lg.shape[0]) == eos_idx)
+                           & (total < min_gen_len), -jnp.inf, lg)
+        index = jnp.argmax(lg).astype(jnp.int32)
+        prob = stat(pcs)
         cur_len = n_context + n    # full target length incl prefix
         fin = ((index == eos_idx) | (cur_len > max_len)
                | (jnp.asarray(source_finished) & (cur_len >= max_len)))

@@ -60,7 +60,8 @@ def _decode_over_encoder(mono_params: dict, enc_seqs_raw: jax.Array,
                          *, max_target_len: int, decision_threshold: float,
                          decision_method: str, p_choose_start_layer: int,
                          eos_idx: int, max_len_a: int, max_len_b: int,
-                         max_writes: int, source_finished: bool):
+                         max_writes: int, source_finished: bool,
+                         min_gen_len: int = 0):
     """Monotonic cache/prefill + EMMA write burst over a (possibly padded)
     encoder output: edge-fill padding with the last valid frame (p_choose
     pooled keys have no mask), mask cross-attention with the true length."""
@@ -79,7 +80,7 @@ def _decode_over_encoder(mono_params: dict, enc_seqs_raw: jax.Array,
         p_choose_start_layer=p_choose_start_layer, sp_valid=sp_valid,
         eos_idx=eos_idx, max_len=max_len, n_context=n_tokens,
         max_writes=max_writes, source_finished=source_finished,
-        enc_padding_mask=enc_mask)
+        enc_padding_mask=enc_mask, min_gen_len=min_gen_len)
     return toks, n_written, finished, ctx_feats, burst_feats, cache
 
 
@@ -89,7 +90,8 @@ def fused_s2t_chunk(unity_params: dict, mono_params: dict, fbank: jax.Array,
                     mono_cfg: MonotonicDecoderConfig, *, max_target_len: int,
                     decision_threshold: float, decision_method: str,
                     p_choose_start_layer: int, eos_idx: int, max_len_a: int,
-                    max_len_b: int, max_writes: int, source_finished: bool):
+                    max_len_b: int, max_writes: int, source_finished: bool,
+                    min_gen_len: int = 0):
     """Encoder re-encode + monotonic cache/prefill + EMMA write burst, fused.
 
     Returns (tokens (max_writes,), n_written, finished, enc_len, ctx_feats
@@ -106,7 +108,7 @@ def fused_s2t_chunk(unity_params: dict, mono_params: dict, fbank: jax.Array,
             decision_method=decision_method,
             p_choose_start_layer=p_choose_start_layer, eos_idx=eos_idx,
             max_len_a=max_len_a, max_len_b=max_len_b, max_writes=max_writes,
-            source_finished=source_finished)
+            source_finished=source_finished, min_gen_len=min_gen_len)
     return toks, n_written, finished, enc_len, ctx_feats, burst_feats, cache
 
 
@@ -118,7 +120,8 @@ def incremental_s2t_chunk(unity_params: dict, mono_params: dict,
                           max_target_len: int, decision_threshold: float,
                           decision_method: str, p_choose_start_layer: int,
                           eos_idx: int, max_len_a: int, max_len_b: int,
-                          max_writes: int, source_finished: bool):
+                          max_writes: int, source_finished: bool,
+                          min_gen_len: int = 0):
     """Incremental-encoder variant of fused_s2t_chunk: encodes ONLY the new
     fbank block (models/wav2vec2/incremental.py — exact for the chunk-causal
     streaming conformer), then adaptor + prefill + write burst. All shapes are
@@ -142,7 +145,7 @@ def incremental_s2t_chunk(unity_params: dict, mono_params: dict,
             decision_method=decision_method,
             p_choose_start_layer=p_choose_start_layer, eos_idx=eos_idx,
             max_len_a=max_len_a, max_len_b=max_len_b, max_writes=max_writes,
-            source_finished=source_finished)
+            source_finished=source_finished, min_gen_len=min_gen_len)
     return (enc_state, toks, n_written, finished, enc_len, ctx_feats,
             burst_feats, cache)
 
@@ -182,7 +185,7 @@ class FusedMMASpeechToTextDecoderAgent(MMATextDecoderAgent):
                  max_consecutive_writes: int = 50,
                  decision_threshold: float = 0.5, decision_method: str = "min",
                  p_choose_start_layer: int = 0, max_target_len: int = 512,
-                 args=None):
+                 min_gen_len: int = 0, args=None):
         super().__init__(mono_params, mono_cfg, text_tokenizer,
                          tgt_lang=tgt_lang, max_len_a=max_len_a,
                          max_len_b=max_len_b,
@@ -196,6 +199,7 @@ class FusedMMASpeechToTextDecoderAgent(MMATextDecoderAgent):
         self.min_starting_wait = min_starting_wait
         self.fbank_bucket = fbank_bucket
         self.min_input_length = min_input_length
+        self.min_gen_len = min_gen_len
         self._fused = jax.jit(
             lambda up, mp, fb, fl, toks, n, srcfin: fused_s2t_chunk(
                 up, mp, fb, fl, toks, n, unity_cfg, mono_cfg,
@@ -206,7 +210,7 @@ class FusedMMASpeechToTextDecoderAgent(MMATextDecoderAgent):
                 eos_idx=self.eos_idx, max_len_a=self.max_len_a,
                 max_len_b=self.max_len_b,
                 max_writes=self.max_consecutive_writes,
-                source_finished=srcfin),
+                source_finished=srcfin, min_gen_len=self.min_gen_len),
             static_argnames=("srcfin",))
 
     def build_states(self) -> FusedDecoderAgentStates:
@@ -336,7 +340,7 @@ class IncrementalFusedMMASpeechToTextDecoderAgent(FusedMMASpeechToTextDecoderAge
                 p_choose_start_layer=self.p_choose_start_layer,
                 eos_idx=self.eos_idx, max_len_a=self.max_len_a,
                 max_len_b=self.max_len_b, max_writes=self.max_consecutive_writes,
-                source_finished=srcfin),
+                source_finished=srcfin, min_gen_len=self.min_gen_len),
             static_argnames=("srcfin",))
 
     def build_states(self) -> IncrementalDecoderAgentStates:

@@ -53,6 +53,7 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                        decision_threshold: float = 0.5,
                        denormalize: bool = False, max_len_b: int = 200,
                        max_consecutive_writes: int = 50,
+                       min_gen_len: int = 0,
                        fused="auto") -> AgentPipeline:
     """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43).
 
@@ -77,7 +78,8 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
             OnlineFeatureExtractorAgent(denormalize=denormalize),
             agent_cls(
                 unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
-                tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
+                tgt_lang=tgt_lang, min_gen_len=min_gen_len,
+                min_starting_wait=min_starting_wait_w2vbert,
                 max_len_b=max_len_b,
                 max_consecutive_writes=max_consecutive_writes,
                 decision_threshold=decision_threshold),
