@@ -187,7 +187,7 @@ def _kernel_v2(x_ref, t_ref, s_ref, logits_ref, bmax_ref, m_ref, se_ref, *,
     se = jnp.sum(jnp.where(gcol < v_total, jnp.exp(l - m[:, None]), 0.0),
                  axis=1)
     logits_ref[...] = l
-    bmax_ref[...] = jnp.max(l.reshape(N, tile // _BLK, _BLK), axis=2)
+    bmax_ref[...] = jnp.max(l.reshape(N, tile // _BLK, _BLK), axis=2)[None]
     m_ref[...] = m[None, :, None]
     se_ref[...] = se[None, :, None]
 
@@ -209,13 +209,13 @@ def _pallas_call_v2(x, table, row_scale, *, tile: int, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec((N, tile), lambda g: (0, g)),
-            pl.BlockSpec((N, tile // _BLK), lambda g: (0, g)),
+            pl.BlockSpec((1, N, tile // _BLK), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, G * tile), jnp.float32),
-            jax.ShapeDtypeStruct((N, G * tile // _BLK), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, tile // _BLK), jnp.float32),
             jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
             jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
         ],
@@ -244,6 +244,8 @@ def int8_vocab_topk_v2(x, table_i8, row_scale, k: int, *,
     V = table_i8.shape[0]
     logits, bmax, m, se = _pallas_call_v2(x, table_i8, row_scale, tile=tile,
                                           interpret=interpret)
+    # (G, N, tile/BLK) -> (N, G*tile/BLK) block-max matrix
+    bmax = jnp.swapaxes(bmax, 0, 1).reshape(N, -1)
     m = m[..., 0].T
     se = se[..., 0].T
     big = jnp.max(m, axis=1)
