@@ -230,8 +230,14 @@ def _pallas_call_v2(x, table, row_scale, *, tile: int, interpret=False):
 
 def int8_vocab_topk_v2(x, table_i8, row_scale, k: int, *,
                        use_pallas: bool | None = None,
-                       tile: int = 8192, interpret: bool = False):
-    """Block-max variant of :func:`int8_vocab_topk` (same contract)."""
+                       tile: int = 2048, interpret: bool = False):
+    """Block-max variant of :func:`int8_vocab_topk` (same contract).
+
+    ``tile`` is VMEM-bound: the kernel holds the int8 table tile AND its bf16
+    conversion ((tile, D) x 3 bytes). tile=8192 at D=1024 exceeds v5e VMEM and
+    fails Mosaic compilation; 2048 (6 MB) is the measured sweet spot — 1.14
+    ms/call vs v1's 30.6 (iterative per-tile top-k) and XLA's 1.10 at the
+    production shape (N=5, V=256102). See docs/performance.md."""
     import os
 
     if use_pallas is None:
