@@ -130,6 +130,10 @@ def pipeline_stack(body: Callable, stacked_params, x: jax.Array, *,
 
     in_specs = (p_specs, x_spec) + ((e_specs,) if extras is not None else ())
     args = (stacked_params, x) + ((extras,) if extras is not None else ())
-    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=x_spec,
-                   check_rep=False)
+    try:
+        fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=x_spec,
+                       check_vma=False)
+    except TypeError:  # older jax.experimental API
+        fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=x_spec,
+                       check_rep=False)
     return fn(*args)
