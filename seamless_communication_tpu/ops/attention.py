@@ -373,6 +373,56 @@ def xl_attention_init(key: jax.Array, dim: int, num_heads: int, *,
     return params
 
 
+def _xl_rel_bias(qv: jax.Array, w_r: jax.Array) -> jax.Array:
+    """Relative-position term bd[b,h,i,j] = (q+v)[b,h,i] · r(i-j)[h] without
+    materializing the (B, H, T, 2T-1) tensor or any gather/skew.
+
+    The naive route (einsum against the projected rel table, then the
+    Transformer-XL skew) is gather/relayout-bound on TPU: the skew measured
+    ~70 ms/layer-pass at (32,16,500,999) f32 — over half the train step.
+    Because the rel table rows are interleaved sinusoids of the signed
+    distance (``xl_rel_table``), the addition formula factorizes the bias
+    into per-position terms:
+
+        sin((i-j)w) = sin(iw)cos(jw) - cos(iw)sin(jw)
+        cos((i-j)w) = cos(iw)cos(jw) + sin(iw)sin(jw)
+
+    With z[b,h,i,:] = (q+v)[b,h,i] routed back through the r-projection
+    (z_s/z_c = sin/cos input rows of W_r), the bias becomes two MXU matmuls
+    against tiny (T, E/2) sinusoid tables:
+
+        A = z_s*sin_i + z_c*cos_i ;  B = z_c*sin_i - z_s*cos_i
+        bd = A @ cos_j^T + B @ sin_j^T
+
+    Mathematically identical to the table+skew formulation (same f32
+    accumulation tolerance as any matmul reassociation); ~5x fewer HBM
+    bytes and no gathers.
+
+    qv: (B, H, T, Dh) = q + v_bias. w_r: (E, D) r_proj weight, (in, out).
+    Returns (B, H, T, T) f32.
+    """
+    Bq, H, T, dh = qv.shape
+    E = w_r.shape[0]
+    inv_freq = jnp.exp(jnp.arange(0, E, 2, dtype=jnp.float32)
+                       * (-math.log(10000.0) / E))                  # (E/2,)
+    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * inv_freq[None, :]
+    sin_p, cos_p = jnp.sin(ang), jnp.cos(ang)                       # (T, E/2)
+    # r(d)[h] = rel(d) @ W_r split to heads; rel even cols are sin, odd cos
+    w_s = w_r[0::2].reshape(E // 2, H, dh)
+    w_c = w_r[1::2].reshape(E // 2, H, dh)
+    z_s = jnp.einsum("bhid,khd->bhik", qv, w_s.astype(qv.dtype),
+                     preferred_element_type=jnp.float32)            # (B,H,T,E/2)
+    z_c = jnp.einsum("bhid,khd->bhik", qv, w_c.astype(qv.dtype),
+                     preferred_element_type=jnp.float32)
+    si, ci = sin_p[None, None], cos_p[None, None]
+    a = (z_s * si + z_c * ci).astype(qv.dtype)
+    b = (z_c * si - z_s * ci).astype(qv.dtype)
+    return (jnp.einsum("bhik,jk->bhij", a, cos_p.astype(qv.dtype),
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bhik,jk->bhij", b, sin_p.astype(qv.dtype),
+                         preferred_element_type=jnp.float32))
+
+
 def xl_self_attention(params: dict, x: jax.Array, num_heads: int, *,
                       bias: Optional[jax.Array] = None) -> jax.Array:
     """scores = ((q+u)·k^T + (q+v)·r(i-j)^T) / sqrt(dh)."""
@@ -382,17 +432,10 @@ def xl_self_attention(params: dict, x: jax.Array, num_heads: int, *,
     q = _split_heads(linear(params["q_proj"], x), H)
     k = _split_heads(linear(params["k_proj"], x), H)
     v = _split_heads(linear(params["v_proj"], x), H)
-    rel = xl_rel_table(T, D, dtype=x.dtype)                        # (2T-1, D)
-    r = linear(params["r_proj"], rel)                              # (2T-1, D)
-    r = r.reshape(2 * T - 1, H, dh).transpose(1, 0, 2)             # (H, 2T-1, Dh)
     u = params["u_bias"].astype(x.dtype)[None, :, None, :]
     vb = params["v_bias"].astype(x.dtype)[None, :, None, :]
     ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, k, preferred_element_type=jnp.float32)
-    bd_full = jnp.einsum("bhqd,hmd->bhqm", q + vb, r,
-                         preferred_element_type=jnp.float32)       # (B,H,T,2T-1)
-    # row m of `rel` encodes d = (T-1) - m; we need bd[i,j] at d = i - j
-    m_idx = (T - 1) - (jnp.arange(T)[:, None] - jnp.arange(T)[None, :])  # (T,T)
-    bd = jnp.take_along_axis(bd_full, m_idx[None, None, :, :], axis=-1)
+    bd = _xl_rel_bias(q + vb, params["r_proj"]["weight"])
     logits = (ac + bd) / math.sqrt(dh)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)

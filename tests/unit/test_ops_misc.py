@@ -144,3 +144,32 @@ def test_monotonic_parallel_prefill_matches_sequential():
     np.testing.assert_allclose(np.asarray(c1.self_v[:, :, :, :n]),
                                np.asarray(c2.self_v[:, :, :, :n]),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_xl_rel_bias_factorization_matches_table_gather():
+    """The sinusoid-addition-formula bias == the rel-table+skew formulation.
+
+    Guards the factorized `_xl_rel_bias` (no gather, two MXU matmuls) against
+    the definitional route: project xl_rel_table, einsum, select d = i - j."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from seamless_communication_tpu.ops.attention import (
+        _xl_rel_bias, xl_rel_table,
+    )
+
+    rng = np.random.default_rng(7)
+    T, D, H = 33, 32, 4
+    dh = D // H
+    qv = jnp.asarray(rng.standard_normal((2, H, T, dh)), jnp.float32)
+    w_r = jnp.asarray(rng.standard_normal((D, D)) * 0.2, jnp.float32)
+
+    rel = xl_rel_table(T, D)
+    r = (rel @ w_r).reshape(2 * T - 1, H, dh).transpose(1, 0, 2)
+    bd_full = jnp.einsum("bhqd,hmd->bhqm", qv, r)
+    m_idx = (T - 1) - (jnp.arange(T)[:, None] - jnp.arange(T)[None, :])
+    want = jnp.take_along_axis(bd_full, m_idx[None, None], axis=-1)
+
+    got = _xl_rel_bias(qv, w_r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
