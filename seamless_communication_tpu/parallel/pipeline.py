@@ -32,7 +32,9 @@ Design notes:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+import contextlib
+import threading
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +43,40 @@ try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
+
+
+class PipelineCtx(NamedTuple):
+    mesh: Mesh
+    axis: str
+    n_micro: int
+    x_spec: Optional[P]
+
+
+_state = threading.local()
+
+
+def active_pipeline() -> Optional[PipelineCtx]:
+    """The pipeline context installed by :func:`pipeline_layers`, if any."""
+    return getattr(_state, "ctx", None)
+
+
+@contextlib.contextmanager
+def pipeline_layers(mesh: Mesh, *, axis: str = "pipe", n_micro: int = 2,
+                    x_spec: Optional[P] = None):
+    """Route eligible layer scans through :func:`pipeline_stack`.
+
+    Trace-time flag, same design as ``ops.remat.remat_layers``: enable it
+    around the loss/forward computation; stacks that check
+    :func:`active_pipeline` (the conformer encoder) run as a GPipe pipeline
+    over ``mesh`` when their layer count divides the stage count. Composes
+    with remat (each layer body is checkpointed inside its stage).
+    """
+    prev = active_pipeline()
+    _state.ctx = PipelineCtx(mesh, axis, n_micro, x_spec)
+    try:
+        yield
+    finally:
+        _state.ctx = prev
 
 
 def pipeline_stack(body: Callable, stacked_params, x: jax.Array, *,
@@ -83,6 +119,10 @@ def pipeline_stack(body: Callable, stacked_params, x: jax.Array, *,
 
     def run(local_params, xs, *maybe_extras):
         stage = jax.lax.axis_index(axis)
+        if xs.shape[0] % M:
+            raise ValueError(
+                f"local batch {xs.shape[0]} not divisible by n_micro {M} "
+                "(global batch must divide data_parallel * n_micro)")
         mb = xs.shape[0] // M  # local (possibly dp-sharded) microbatch size
         micro = xs.reshape(M, mb, *xs.shape[1:])
         if maybe_extras:

@@ -25,11 +25,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = 1, model: int = 1, pipe: int = 1, devices=None) -> Mesh:
+    """("data", "model") mesh; with ``pipe`` > 1, ("data", "model", "pipe") —
+    the extra axis feeds GPipe pipeline parallelism (parallel/pipeline.py)."""
     devices = devices if devices is not None else jax.devices()
-    n = data * model
+    n = data * model * pipe
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if pipe > 1:
+        arr = np.asarray(devices[:n]).reshape(data, model, pipe)
+        return Mesh(arr, ("data", "model", "pipe"))
     arr = np.asarray(devices[:n]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
@@ -100,11 +105,14 @@ def with_param_shardings(params, mesh: Mesh):
         path = _path_strs(keypath)
         spec = param_partition_spec(path, getattr(leaf, "shape", ()),
                                     stacked=False)
-        # validate divisibility; fall back to replication when the axis doesn't divide
+        # validate divisibility and axis presence; fall back to replication
+        # when the named axis doesn't divide (or isn't in this mesh)
         ok = True
         model_size = mesh.shape.get("model", 1)
         for dim, axis in zip(getattr(leaf, "shape", ()), spec):
-            if axis == "model" and dim % model_size != 0:
+            if axis is not None and axis not in mesh.shape:
+                ok = False
+            elif axis == "model" and dim % model_size != 0:
                 ok = False
         shardings.append(NamedSharding(mesh, spec if ok else P()))
     return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -59,6 +59,10 @@ class FinetuneParams:
                                # activations in backward instead of storing
                                # them (ops/remat.py) — trades ~30% step FLOPs
                                # for O(num_layers) less activation HBM
+    pp_microbatches: int = 0   # >0 + a mesh with a "pipe" axis: run the
+                               # speech-encoder stack as a GPipe pipeline
+                               # (parallel/pipeline.py) with this many
+                               # microbatches; 0 = off
 
 
 def s2t_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
@@ -156,7 +160,8 @@ def make_train_step(cfg: UnitYConfig, optimizer, *,
                     loss_fn: Optional[Callable] = None,
                     mode: "FinetuneMode" = None,
                     frozen_predicate: Optional[Callable] = None,
-                    remat: bool = False):
+                    remat: bool = False,
+                    pp_mesh=None, pp_n_micro: int = 2):
     """Build the jittable (params, opt_state, batch) -> (params, opt_state, metrics)
     train step. Gradient reduction over the data axis is inserted by XLA from the
     shardings — no explicit collectives needed."""
@@ -171,6 +176,15 @@ def make_train_step(cfg: UnitYConfig, optimizer, *,
         def loss_fn(p, cfg, batch):
             with remat_layers():
                 return inner_loss(p, cfg, batch)
+    if pp_mesh is not None:
+        from jax.sharding import PartitionSpec as _P
+        from seamless_communication_tpu.parallel.pipeline import pipeline_layers
+        pp_inner = loss_fn
+        pp_xspec = _P("data") if "data" in pp_mesh.axis_names else None
+
+        def loss_fn(p, cfg, batch):
+            with pipeline_layers(pp_mesh, n_micro=pp_n_micro, x_spec=pp_xspec):
+                return pp_inner(p, cfg, batch)
 
     def step(params, opt_state, batch):
         def objective(p):
@@ -222,12 +236,16 @@ class UnitYFinetune:
             frozen.append("text_encoder")
         if ft.freeze_speech_encoder:
             frozen.append("speech_encoder")
+        pp_on = (getattr(ft, "pp_microbatches", 0) > 0 and mesh is not None
+                 and "pipe" in mesh.axis_names and mesh.shape["pipe"] > 1)
         step = make_train_step(cfg, self.optimizer,
                                label_smoothing=ft.label_smoothing,
                                mode=ft.finetune_mode,
                                frozen_predicate=freeze_modules(*frozen)
                                if frozen else None,
-                               remat=getattr(ft, "remat", False))
+                               remat=getattr(ft, "remat", False),
+                               pp_mesh=mesh if pp_on else None,
+                               pp_n_micro=getattr(ft, "pp_microbatches", 2))
         if mesh is not None:
             params = shard_params(params, mesh)
             pspecs = with_param_shardings(params, mesh)

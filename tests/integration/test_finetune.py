@@ -190,3 +190,39 @@ def test_remat_grads_match():
     a, b = jax.tree.leaves(p1), jax.tree.leaves(p2)
     assert all(np.allclose(np.asarray(x), np.asarray(y), atol=1e-4)
                for x, y in zip(a, b))
+
+
+def test_pp_sharded_train_step_matches_unsharded(setup):
+    """One dp x pp (pipeline) train step over a ("data","model","pipe") mesh
+    must match the unsharded step: the speech-encoder conformer stack runs as
+    a 2-stage GPipe (parallel/pipeline.py via FinetuneParams.pp_microbatches)
+    while grads still all-reduce over "data". The reference has no pipeline
+    parallelism at all (DDP only, cli/m4t/finetune/dist_utils.py)."""
+    import dataclasses
+
+    from seamless_communication_tpu.parallel.sharding import make_mesh
+
+    cfg, params, ft, d = setup
+    rng = np.random.default_rng(11)
+    B = 4  # must divide data_parallel (2) * pp microbatches (2)
+    batch = {
+        "fbank": rng.standard_normal((B, 64, 80)).astype(np.float32),
+        "fbank_lens": np.array([64, 48, 64, 56], np.int32),
+        "prev_tokens": rng.integers(4, 250, (B, 8)).astype(np.int32),
+        "target_tokens": rng.integers(4, 250, (B, 8)).astype(np.int32),
+        "target_lens": np.array([8, 6, 8, 7], np.int32),
+    }
+
+    plain = UnitYFinetune(params, cfg, ft, train_data=[batch])
+    p1, _, m1 = plain.train_step(plain.params, plain.opt_state, batch)
+
+    ft_pp = dataclasses.replace(ft, pp_microbatches=2)
+    mesh = make_mesh(data=2, model=2, pipe=2)
+    assert mesh.axis_names == ("data", "model", "pipe")
+    pp = UnitYFinetune(params, cfg, ft_pp, mesh=mesh, train_data=[batch])
+    p2, _, m2 = pp.train_step(pp.params, pp.opt_state, batch)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
