@@ -332,13 +332,20 @@ def shaw_self_attention(params: dict, x: jax.Array, num_heads: int, *,
     T = x.shape[1]
     dh = q.shape[-1]
     rel = params["rel_k_embed"]["embedding"].astype(q.dtype)      # (P, Dh)
-    # distances j - i clipped; gather over the small P axis
+    # distances j - i clipped; select over the small P axis. A
+    # take_along_axis here lowers to a T^2-row gather (measured ~100 ms per
+    # layer-pass at (32,16,500,P) on v5e — it dominated the XL train step
+    # before the same fix); the one-hot einsum is bit-exact (each output sums
+    # exactly one nonzero f32 term) and runs on the MXU.
     dist = jnp.clip(jnp.arange(T)[None, :] - jnp.arange(T)[:, None], -max_left, max_right)
     idx = dist + max_left                                          # (T, T) in [0, P)
     rel_logits_full = jnp.einsum("bhqd,pd->bhqp", q, rel,
                                  preferred_element_type=jnp.float32)  # (B,H,T,P)
-    rel_logits = jnp.take_along_axis(
-        rel_logits_full, idx[None, None, :, :], axis=-1)           # (B,H,T,T)
+    P = rel.shape[0]
+    onehot = (idx[:, :, None] == jnp.arange(P)[None, None, :]
+              ).astype(jnp.float32)                                # (T, T, P)
+    rel_logits = jnp.einsum("bhqp,qjp->bhqj", rel_logits_full, onehot,
+                            preferred_element_type=jnp.float32)    # (B,H,T,T)
     out = _sdpa(q, k, v, bias, extra_logits=rel_logits / math.sqrt(dh))
     return linear(params["output_proj"], _merge_heads(out))
 
