@@ -88,7 +88,13 @@ def _shaw_attention_step(p: dict, h: jax.Array, k_cache: jax.Array,
     idx = dist + cfg.shaw_max_left                               # (N, T_max)
     rel_full = jnp.einsum("bhqd,pd->bhqp", q, rel,
                           preferred_element_type=jnp.float32)    # (B,H,N,P)
-    rel_logits = jnp.take_along_axis(rel_full, idx[None, None, :, :], axis=-1)
+    # one-hot select instead of gather (bit-exact, MXU-friendly — see
+    # ops/attention.py shaw_self_attention)
+    P = rel.shape[0]
+    onehot = (idx[:, :, None] == jnp.arange(P)[None, None, :]
+              ).astype(jnp.float32)                              # (N, T_max, P)
+    rel_logits = jnp.einsum("bhqp,qjp->bhqj", rel_full, onehot,
+                            preferred_element_type=jnp.float32)
     logits = (logits + rel_logits) / math.sqrt(dh)
     return logits, k_cache, v_cache, v_new
 
