@@ -296,12 +296,16 @@ def main() -> None:
     # states (adafactor), per-layer activation remat (16 GB HBM budget; fp32
     # v2-large + adam does not fit one chip, that is what dp+tp meshes are for)
     if os.environ.get("BENCH_TRAIN"):
-        del params  # free the inference weights before allocating train state
+        # free the serving state before allocating train state: the int8
+        # v2-large weights, vocoder weights, stage executables and every
+        # jit-cache constant (the train step needs the full HBM budget)
+        del params, voc_params, compiled
         import gc
         import optax
         from seamless_communication_tpu.train.trainer import make_train_step
 
         gc.collect()
+        jax.clear_caches()
         tcfg = get_arch("medium")
         opt = optax.adafactor(1e-4)
         tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128

@@ -154,39 +154,15 @@ def conformer_encoder(stacked_params: dict, x: jax.Array, cfg: ConformerConfig, 
         bias = cb if bias is None else bias + cb
 
     from seamless_communication_tpu.ops import remat
-    from seamless_communication_tpu.parallel import pipeline as _pp
+    from seamless_communication_tpu.parallel.pipeline import pipeline_or_none
 
-    ctx = _pp.active_pipeline()
-    if (ctx is not None and cfg.num_layers % ctx.mesh.shape[ctx.axis] == 0
-            and x.shape[0] % ctx.n_micro == 0):
-        # GPipe the stack over the mesh's pipeline axis. Per-sample tensors
-        # ride as microbatched extras; batch-broadcast bias is closed over.
-        extras = {}
-        closed_bias = None
-        if bias is not None:
-            if bias.shape[0] == x.shape[0]:
-                extras["bias"] = bias
-            else:
-                closed_bias = bias
-        if padding_mask is not None:
-            extras["mask"] = padding_mask
-
-        def layer_fwd(h, ex, lp):
-            b = ex.get("bias", closed_bias)
-            return conformer_layer(lp, h, cfg, attn_bias=b,
-                                   padding_mask=ex.get("mask"))
-
-        if remat.is_enabled():
-            layer_fwd = jax.checkpoint(layer_fwd)
-        if extras:
-            return _pp.pipeline_stack(layer_fwd, stacked_params, x,
-                                      mesh=ctx.mesh, axis=ctx.axis,
-                                      n_micro=ctx.n_micro, extras=extras,
-                                      x_spec=ctx.x_spec)
-        return _pp.pipeline_stack(lambda h, lp: layer_fwd(h, {}, lp),
-                                  stacked_params, x, mesh=ctx.mesh,
-                                  axis=ctx.axis, n_micro=ctx.n_micro,
-                                  x_spec=ctx.x_spec)
+    piped = pipeline_or_none(
+        lambda h, tens, lp: conformer_layer(lp, h, cfg,
+                                            attn_bias=tens.get("bias"),
+                                            padding_mask=tens.get("mask")),
+        stacked_params, x, {"bias": bias, "mask": padding_mask})
+    if piped is not None:
+        return piped
 
     def body(h, layer_params):
         return conformer_layer(layer_params, h, cfg, attn_bias=bias,

@@ -109,6 +109,15 @@ def transformer_encoder(params: dict, x: jax.Array, cfg: TransformerConfig, *,
                         padding_mask: Optional[jax.Array] = None) -> jax.Array:
     bias = padding_bias(padding_mask)
 
+    from seamless_communication_tpu.parallel.pipeline import pipeline_or_none
+    piped = pipeline_or_none(
+        lambda h, tens, lp: _layer_forward(lp, h, cfg,
+                                           self_bias=tens.get("bias"),
+                                           enc_out=None, cross_bias=None),
+        params["layers"], x, {"bias": bias})
+    if piped is not None:
+        return layer_norm(params["layer_norm"], piped)
+
     def body(h, layer_p):
         return _layer_forward(layer_p, h, cfg, self_bias=bias, enc_out=None,
                               cross_bias=None), None
@@ -130,6 +139,17 @@ def transformer_decoder(params: dict, x: jax.Array, cfg: TransformerConfig, *,
         padding_bias(self_padding_mask),
     )
     cross_bias = padding_bias(enc_padding_mask)
+
+    from seamless_communication_tpu.parallel.pipeline import pipeline_or_none
+    piped = pipeline_or_none(
+        lambda h, tens, lp: _layer_forward(lp, h, cfg,
+                                           self_bias=tens.get("self_bias"),
+                                           enc_out=tens.get("enc_out"),
+                                           cross_bias=tens.get("cross_bias")),
+        params["layers"], x, {"self_bias": self_bias, "enc_out": enc_out,
+                              "cross_bias": cross_bias})
+    if piped is not None:
+        return layer_norm(params["layer_norm"], piped)
 
     def body(h, layer_p):
         return _layer_forward(layer_p, h, cfg, self_bias=self_bias, enc_out=enc_out,

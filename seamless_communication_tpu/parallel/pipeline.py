@@ -79,6 +79,48 @@ def pipeline_layers(mesh: Mesh, *, axis: str = "pipe", n_micro: int = 2,
         _state.ctx = prev
 
 
+def pipeline_or_none(layer_fn: Callable, stacked_params, x: jax.Array,
+                     tensors: dict):
+    """Run ``layer_fn`` over the stacked layers as a pipeline when an
+    applicable :func:`pipeline_layers` context is active; return None when
+    the caller should fall back to its sequential ``lax.scan``.
+
+    layer_fn: ``(h, tensors: dict, layer_params) -> h``. Entries of
+    ``tensors`` with leading axis == batch are microbatched alongside ``x``
+    (per-sample masks, encoder outputs); the rest (broadcast biases, None)
+    are closed over. Composes with ``ops.remat`` (each layer is
+    checkpointed inside its stage when remat is enabled).
+    """
+    ctx = active_pipeline()
+    if ctx is None:
+        return None
+    L = jax.tree.leaves(stacked_params)[0].shape[0]
+    S = ctx.mesh.shape[ctx.axis]
+    B = x.shape[0]
+    if L % S or B % ctx.n_micro:
+        return None
+
+    per = {k: v for k, v in tensors.items()
+           if v is not None and getattr(v, "shape", ())[:1] == (B,)}
+    closed = {k: v for k, v in tensors.items() if k not in per}
+
+    def body(h, ex, lp):
+        tens = dict(closed)
+        tens.update(ex)
+        return layer_fn(h, tens, lp)
+
+    from seamless_communication_tpu.ops import remat as _remat
+    if _remat.is_enabled():
+        body = jax.checkpoint(body)
+    if per:
+        return pipeline_stack(body, stacked_params, x, mesh=ctx.mesh,
+                              axis=ctx.axis, n_micro=ctx.n_micro,
+                              extras=per, x_spec=ctx.x_spec)
+    return pipeline_stack(lambda h, lp: body(h, {}, lp), stacked_params, x,
+                          mesh=ctx.mesh, axis=ctx.axis,
+                          n_micro=ctx.n_micro, x_spec=ctx.x_spec)
+
+
 def pipeline_stack(body: Callable, stacked_params, x: jax.Array, *,
                    mesh: Mesh, axis: str = "pipe", n_micro: int,
                    extras=None, x_spec: Optional[P] = None):
