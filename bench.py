@@ -309,26 +309,44 @@ def main() -> None:
         tcfg = get_arch("medium")
         opt = optax.adafactor(1e-4)
         tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128
-        tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
-                                   dtype=jnp.bfloat16)
-        topt = opt.init(tparams)
-        batch = {
-            "fbank": jnp.asarray(rng.standard_normal((tb, MAX_FRAMES, 80)),
-                                 jnp.float32),
-            "fbank_lens": jnp.full((tb,), MAX_FRAMES, jnp.int32),
-            "prev_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)), jnp.int32),
-            "target_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)), jnp.int32),
-            "target_lens": jnp.full((tb,), tt, jnp.int32),
-        }
-        tstep = jax.jit(make_train_step(tcfg, opt, remat=True))
-        tparams, topt, m = tstep(tparams, topt, batch)
-        float(m["loss"])
-        t0 = time.time()
-        n_steps = 3
-        for _ in range(n_steps):
+
+        def _train_once(tb):
+            tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
+                                       dtype=jnp.bfloat16)
+            topt = opt.init(tparams)
+            batch = {
+                "fbank": jnp.asarray(rng.standard_normal((tb, MAX_FRAMES, 80)),
+                                     jnp.float32),
+                "fbank_lens": jnp.full((tb,), MAX_FRAMES, jnp.int32),
+                "prev_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)),
+                                           jnp.int32),
+                "target_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)),
+                                             jnp.int32),
+                "target_lens": jnp.full((tb,), tt, jnp.int32),
+            }
+            tstep = jax.jit(make_train_step(tcfg, opt, remat=True))
             tparams, topt, m = tstep(tparams, topt, batch)
-        float(m["loss"])
-        dt = (time.time() - t0) / n_steps
+            float(m["loss"])
+            t0 = time.time()
+            n_steps = 3
+            for _ in range(n_steps):
+                tparams, topt, m = tstep(tparams, topt, batch)
+            float(m["loss"])
+            return (time.time() - t0) / n_steps, tparams
+
+        # the serving sections above can leave the remote allocator
+        # fragmented; degrade the batch rather than abort the whole bench
+        while True:
+            try:
+                dt, tparams = _train_once(tb)
+                break
+            except Exception as e:  # jaxlib RESOURCE_EXHAUSTED
+                if "RESOURCE_EXHAUSTED" not in str(e) or tb <= 8:
+                    raise
+                gc.collect()
+                jax.clear_caches()
+                tb //= 2
+        extra["train_medium_batch"] = tb
         extra["train_medium_step_s"] = round(dt, 3)
         extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
         extra["train_medium_audio_s_per_s"] = round(tb * AUDIO_SECONDS / dt, 2)

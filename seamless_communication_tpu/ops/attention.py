@@ -51,9 +51,17 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
           bias: Optional[jax.Array], *, extra_logits: Optional[jax.Array] = None,
           scale: Optional[float] = None) -> jax.Array:
-    """Core scaled-dot-product attention on (B, H, T, Dh) tensors; fp32 softmax."""
+    """Core scaled-dot-product attention on (B, H, T, Dh) tensors; fp32 softmax.
+
+    On TPU, full-sequence calls route through the Pallas flash kernel
+    (ops/fused_attention.py) — no HBM logits/probs materialization; the XLA
+    composition below is the CPU/test/fallback path."""
     dh = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
+    from seamless_communication_tpu.ops.fused_attention import try_flash
+    fused = try_flash(q, k, v, bias, extra_logits, scale)
+    if fused is not None:
+        return fused
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if extra_logits is not None:
@@ -417,13 +425,16 @@ def _xl_rel_bias(qv: jax.Array, w_r: jax.Array) -> jax.Array:
     # r(d)[h] = rel(d) @ W_r split to heads; rel even cols are sin, odd cos
     w_s = w_r[0::2].reshape(E // 2, H, dh)
     w_c = w_r[1::2].reshape(E // 2, H, dh)
+    # z/a/b stay in the model dtype (bf16 on TPU): they feed bf16 MXU matmuls
+    # anyway, and the f32 intermediates measurably pressure HBM at batch 32
     z_s = jnp.einsum("bhid,khd->bhik", qv, w_s.astype(qv.dtype),
-                     preferred_element_type=jnp.float32)            # (B,H,T,E/2)
+                     preferred_element_type=jnp.float32).astype(qv.dtype)
     z_c = jnp.einsum("bhid,khd->bhik", qv, w_c.astype(qv.dtype),
-                     preferred_element_type=jnp.float32)
-    si, ci = sin_p[None, None], cos_p[None, None]
-    a = (z_s * si + z_c * ci).astype(qv.dtype)
-    b = (z_c * si - z_s * ci).astype(qv.dtype)
+                     preferred_element_type=jnp.float32).astype(qv.dtype)
+    si = sin_p[None, None].astype(qv.dtype)
+    ci = cos_p[None, None].astype(qv.dtype)
+    a = z_s * si + z_c * ci
+    b = z_c * si - z_s * ci
     return (jnp.einsum("bhik,jk->bhij", a, cos_p.astype(qv.dtype),
                        preferred_element_type=jnp.float32)
             + jnp.einsum("bhik,jk->bhij", b, sin_p.astype(qv.dtype),
@@ -441,12 +452,9 @@ def xl_self_attention(params: dict, x: jax.Array, num_heads: int, *,
     v = _split_heads(linear(params["v_proj"], x), H)
     u = params["u_bias"].astype(x.dtype)[None, :, None, :]
     vb = params["v_bias"].astype(x.dtype)[None, :, None, :]
-    ac = jnp.einsum("bhqd,bhkd->bhqk", q + u, k, preferred_element_type=jnp.float32)
     bd = _xl_rel_bias(q + vb, params["r_proj"]["weight"])
-    logits = (ac + bd) / math.sqrt(dh)
-    if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    scale = 1.0 / math.sqrt(dh)
+    # routed through _sdpa so the TPU flash kernel applies; extra_logits is
+    # the post-scale additive term, hence bd * scale
+    out = _sdpa(q + u, k, v, bias, extra_logits=bd * scale, scale=scale)
     return linear(params["output_proj"], _merge_heads(out))
