@@ -306,7 +306,7 @@ def main() -> None:
 
         gc.collect()
         jax.clear_caches()
-        tcfg = get_arch("medium")
+        tcfg = get_arch(os.environ.get("BENCH_TRAIN_ARCH", "medium"))
         opt = optax.adafactor(1e-4)
         tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128
 
@@ -346,6 +346,7 @@ def main() -> None:
                 gc.collect()
                 jax.clear_caches()
                 tb //= 2
+        extra["train_arch"] = os.environ.get("BENCH_TRAIN_ARCH", "medium")
         extra["train_medium_batch"] = tb
         extra["train_medium_step_s"] = round(dt, 3)
         extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
