@@ -297,9 +297,11 @@ def main() -> None:
     # v2-large + adam does not fit one chip, that is what dp+tp meshes are for)
     if os.environ.get("BENCH_TRAIN"):
         # free the serving state before allocating train state: the int8
-        # v2-large weights, vocoder weights, stage executables and every
+        # v2-large weights, vocoder weights (ALSO referenced by init_box —
+        # deleting the locals alone leaks them), stage executables and every
         # jit-cache constant (the train step needs the full HBM budget)
-        del params, voc_params, compiled
+        init_box.clear()
+        del params, voc_params, compiled, lowered
         import gc
         import optax
         from seamless_communication_tpu.train.trainer import make_train_step
