@@ -220,7 +220,23 @@ def test_pp_sharded_train_step_matches_unsharded(setup):
     mesh = make_mesh(data=2, model=2, pipe=2)
     assert mesh.axis_names == ("data", "model", "pipe")
     pp = UnitYFinetune(params, cfg, ft_pp, mesh=mesh, train_data=[batch])
-    p2, _, m2 = pp.train_step(pp.params, pp.opt_state, batch)
+
+    # guard against a vacuous pass: the pipeline must actually ENGAGE (a
+    # silent fallback to lax.scan would match the unsharded step trivially)
+    from seamless_communication_tpu.parallel import pipeline as pl
+    engaged = {"n": 0}
+    real = pl.pipeline_stack
+
+    def counting(*a, **kw):
+        engaged["n"] += 1
+        return real(*a, **kw)
+
+    pl.pipeline_stack = counting
+    try:
+        p2, _, m2 = pp.train_step(pp.params, pp.opt_state, batch)
+    finally:
+        pl.pipeline_stack = real
+    assert engaged["n"] >= 2, "pipeline_stack never engaged in the pp step"
 
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
