@@ -67,7 +67,7 @@ def pipeline_layers(mesh: Mesh, *, axis: str = "pipe", n_micro: int = 2,
 
     Trace-time flag, same design as ``ops.remat.remat_layers``: enable it
     around the loss/forward computation; stacks that check
-    :func:`active_pipeline` (the conformer encoder) run as a GPipe pipeline
+    :func:`active_pipeline` (conformer + transformer stacks) run as a GPipe pipeline
     over ``mesh`` when their layer count divides the stage count. Composes
     with remat (each layer body is checkpointed inside its stage).
     """
