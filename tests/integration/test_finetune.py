@@ -216,7 +216,8 @@ def test_pp_sharded_train_step_matches_unsharded(setup):
     plain = UnitYFinetune(params, cfg, ft, train_data=[batch])
     p1, _, m1 = plain.train_step(plain.params, plain.opt_state, batch)
 
-    ft_pp = dataclasses.replace(ft, pp_microbatches=2)
+    # remat=True also covers the jax.checkpoint-inside-shard_map composition
+    ft_pp = dataclasses.replace(ft, pp_microbatches=2, remat=True)
     mesh = make_mesh(data=2, model=2, pipe=2)
     assert mesh.axis_names == ("data", "model", "pipe")
     pp = UnitYFinetune(params, cfg, ft_pp, mesh=mesh, train_data=[batch])
