@@ -291,10 +291,12 @@ def main() -> None:
         extra["expressive_synth_rtf"] = round((time.time() - t0) / seconds_out, 5)
         extra["expressive_synth_audio_s"] = round(seconds_out, 2)
 
-    # opt-in single-chip training throughput: SeamlessM4T-medium S2T step with
-    # the big-model single-chip recipe — bf16 params, factored optimizer
-    # states (adafactor), per-layer activation remat (16 GB HBM budget; fp32
-    # v2-large + adam does not fit one chip, that is what dp+tp meshes are for)
+    # opt-in single-chip training throughput: S2T step with the big-model
+    # single-chip recipe — bf16 params, factored optimizer states
+    # (adafactor), per-layer activation remat. The recipe fits even v2-large
+    # (2.53B params) in one chip's 16 GB: BENCH_TRAIN_ARCH=base_v2
+    # BENCH_TRAIN_B=16 measured 2977 tok/s (fp32 + adam would not fit —
+    # that is what dp+tp meshes are for)
     if os.environ.get("BENCH_TRAIN"):
         # free the serving state before allocating train state: the int8
         # v2-large weights, vocoder weights (ALSO referenced by init_box —
