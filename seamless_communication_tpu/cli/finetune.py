@@ -31,6 +31,14 @@ def main() -> None:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="0 = all devices")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="GPipe pipeline stages over a 'pipe' mesh axis "
+                             "(parallel/pipeline.py); layer counts must "
+                             "divide it")
+    parser.add_argument("--pp_microbatches", type=int, default=2,
+                        help="microbatches per pipeline step (bubble = "
+                             "(S-1)/(m+S-1)); batch_size must divide "
+                             "data_parallel * pp_microbatches")
     parser.add_argument("--freeze_text_encoder", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="--no-freeze_text_encoder unfreezes it")
@@ -76,9 +84,11 @@ def main() -> None:
         params = init_speech_encoder_from_conformer_shaw(
             params, load_pt_state_dict(args.init_speech_encoder))
 
-    dp = args.data_parallel or (len(jax.devices()) // args.model_parallel)
-    mesh = make_mesh(data=dp, model=args.model_parallel)
-    logger.info("mesh: data=%d model=%d", dp, args.model_parallel)
+    pp = args.pipeline_parallel
+    dp = args.data_parallel or (len(jax.devices())
+                                // (args.model_parallel * pp))
+    mesh = make_mesh(data=dp, model=args.model_parallel, pipe=pp)
+    logger.info("mesh: data=%d model=%d pipe=%d", dp, args.model_parallel, pp)
 
     ft = FinetuneParams(
         finetune_mode=FinetuneMode(args.mode),
@@ -89,7 +99,8 @@ def main() -> None:
         label_smoothing=args.label_smoothing,
         freeze_text_encoder=args.freeze_text_encoder,
         freeze_speech_encoder=args.freeze_speech_encoder,
-        remat=args.remat)
+        remat=args.remat,
+        pp_microbatches=args.pp_microbatches if pp > 1 else 0)
 
     train_data = manifest_batches(args.train_dataset, text_tok,
                                   batch_size=args.batch_size)
