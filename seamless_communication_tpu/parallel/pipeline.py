@@ -138,6 +138,13 @@ def pipeline_stack(body: Callable, stacked_params, x: jax.Array, *,
     x_spec: PartitionSpec for x/extras over the *other* mesh axes (e.g.
         P("data") to compose pp x dp). Must not mention ``axis``.
 
+    Composition note: inside the shard_map each stage holds its layer block
+    WHOLE — dp composes via ``x_spec``, but a "model" mesh axis is
+    replicated within the pipelined stack (stage memory = full layers).
+    Megatron-style tp-inside-pp would need in-body collectives; today tp
+    applies to the non-pipelined parts of the model (vocab projection,
+    embeddings, any stack that falls back to scan).
+
     Returns (B, ...), equal to the sequential scan over all L layers.
     """
     S = mesh.shape[axis]
