@@ -374,7 +374,11 @@ class IncrementalFusedMMASpeechToTextDecoderAgent(FusedMMASpeechToTextDecoderAge
 
         self._enforce_tgt_lang(states)
         if states.enc_state is None:
-            dtype = jax.tree.leaves(self.params)[0].dtype
+            # first FLOATING leaf: int8-quantized trees carry int8/f32-scale
+            # leaves whose dtype must not leak into the encoder KV state
+            dtype = next(l.dtype
+                         for l in jax.tree.leaves(self.unity_params)
+                         if jnp.issubdtype(l.dtype, jnp.floating))
             states.enc_state = speech_encoder_stream_init(
                 self.unity_cfg.speech, batch=1,
                 max_frames=self.max_stream_frames, dtype=dtype)

@@ -33,6 +33,27 @@ from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
 from seamless_communication_tpu.text.nllb import NllbTokenizer
 
 
+def _maybe_quantize_mono(mono_params: dict, quantize_int8: Optional[bool]):
+    """int8 weight-only quantization of the EMMA monotonic decoder.
+
+    The streaming chunk's dominant HBM cost is the write burst: every decode
+    step streams the full dense_1b decoder weights plus the 256k tied vocab
+    table (xplane-measured ~2.2 ms/token bf16 on v5e). int8 halves both
+    reads — same scheme the offline UnitY decode path defaults to. None =
+    auto: on for TPU backends, off elsewhere (hermetic CPU tests stay exact).
+    """
+    if quantize_int8 is None:
+        import jax
+        try:
+            quantize_int8 = jax.default_backend() == "tpu"
+        except Exception:
+            quantize_int8 = False
+    if not quantize_int8:
+        return mono_params
+    from seamless_communication_tpu.ops.quantization import quantize_params
+    return quantize_params(mono_params)
+
+
 def _resolve_fused(fused, unity_cfg: UnitYConfig):
     """Resolve fused="auto": incremental needs a chunk-causal encoder to stay
     exact (models/wav2vec2/incremental.py guard); production streaming cards
@@ -54,6 +75,7 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                        denormalize: bool = False, max_len_b: int = 200,
                        max_consecutive_writes: int = 50,
                        min_gen_len: int = 0,
+                       mono_quantize_int8: Optional[bool] = None,
                        fused="auto") -> AgentPipeline:
     """SeamlessStreaming S2TT/ASR pipeline (seamless_streaming_s2t.py:22-43).
 
@@ -65,6 +87,7 @@ def build_s2t_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
     streaming archs are), else to plain fused. ``fused=False`` keeps the
     reference's separate encoder/decoder agents (needed for ``no_early_stop``
     / ``block_ngrams`` policy variants)."""
+    mono_params = _maybe_quantize_mono(mono_params, mono_quantize_int8)
     fused = _resolve_fused(fused, unity_cfg)
     if fused:
         from seamless_communication_tpu.streaming.fused import (
@@ -110,11 +133,13 @@ def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                         denormalize: bool = False, max_len_b: int = 200,
                         max_consecutive_writes: int = 50,
                         text_bucket: int = 16,
+                        mono_quantize_int8: Optional[bool] = None,
                         fused="auto") -> AgentPipeline:
     """SeamlessStreaming S2ST pipeline (seamless_streaming_s2st.py:28-36).
 
     ``fused="auto"`` (default) resolves to ``"incremental"`` for chunk-causal
     encoder cards, else plain fused (see build_s2t_pipeline)."""
+    mono_params = _maybe_quantize_mono(mono_params, mono_quantize_int8)
     fused = _resolve_fused(fused, unity_cfg)
     if fused:
         from seamless_communication_tpu.streaming.fused import (
@@ -166,10 +191,12 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                                    min_unit_chunk_size: int = 50,
                                    denormalize: bool = False,
                                    use_vad: bool = False,
+                                   mono_quantize_int8: Optional[bool] = None,
                                    fused="auto") -> AgentPipeline:
     """SeamlessExpressive streaming S2ST (reference seamless_s2st.py:35-77): the
     PRETSSEL vocoder agent reads the accumulated source audio for prosody.
     ``fused="auto"`` as in build_s2t_pipeline."""
+    mono_params = _maybe_quantize_mono(mono_params, mono_quantize_int8)
     fused = _resolve_fused(fused, unity_cfg)
     from seamless_communication_tpu.streaming.agents.pretssel_vocoder import (
         PretsselVocoderAgent,

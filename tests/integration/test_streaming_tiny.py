@@ -175,3 +175,51 @@ def test_incremental_matches_fused_s2t(setup):
                               tgt_lang="eng").run(wav))
         toks[mode] = list(pipe.agents[1].states.target_indices)
     assert toks["incremental"] == toks[True] and len(toks[True]) > 0
+
+
+def test_s2t_streaming_int8_mono(setup):
+    """mono_quantize_int8=True (the TPU serving default) must stream end to
+    end on CPU too: every linear/embedding in the EMMA decode path dispatches
+    to the int8 variants (ops/quantization.py). Runs BOTH the plain-fused and
+    the incremental agent — the latter once derived its encoder-state dtype
+    from the mono tree's first leaf, which int8 quantization turns into an
+    int8 KV state (caught on TPU; fused.py now picks the first floating
+    unity leaf)."""
+    import dataclasses
+
+    from seamless_communication_tpu.models.wav2vec2.encoder import (
+        SpeechEncoderConfig,
+    )
+    from seamless_communication_tpu.ops.conformer import ConformerConfig
+
+    s = setup
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)
+           ).astype(np.float32)
+    kw = dict(tgt_lang="eng", min_starting_wait_w2vbert=16,
+              decision_threshold=0.4, max_len_b=12, max_consecutive_writes=6,
+              mono_quantize_int8=True)
+
+    pipe = build_s2t_pipeline(s["unity_params"], s["cfg"], s["mono_params"],
+                              s["mono_cfg"], s["text_tok"], **kw)
+    outs = list(StreamingSession(pipe, segment_size_ms=320,
+                                 tgt_lang="eng").run(wav))
+    assert outs and outs[-1][1].finished
+
+    chunk_cfg = dataclasses.replace(
+        s["cfg"],
+        speech=SpeechEncoderConfig(
+            model_dim=64, feature_dim=160, ffn_inner_dim=128,
+            num_adaptor_heads=4,
+            conformer=ConformerConfig(dim=64, ffn_inner_dim=128, num_heads=4,
+                                      num_layers=2, depthwise_kernel_size=7,
+                                      pos_type="shaw", shaw_max_left=8,
+                                      shaw_max_right=3,
+                                      causal_depthwise_conv=True),
+            chunk_size=4, left_chunk_num=-1))
+    params = unity.unity_init(jax.random.PRNGKey(3), chunk_cfg)
+    pipe = build_s2t_pipeline(params, chunk_cfg, s["mono_params"],
+                              s["mono_cfg"], s["text_tok"],
+                              fused="incremental", **kw)
+    outs = list(StreamingSession(pipe, segment_size_ms=320,
+                                 tgt_lang="eng").run(wav))
+    assert outs and outs[-1][1].finished
