@@ -24,6 +24,10 @@ Expected files in --checkpoint-dir (any subset; missing files SKIP that family):
     pretssel_melhifigan_wm-16khz.pt   PRETSSEL expressive vocoder (optional)
     pretssel_activations.npz       recorded reference activations (optional:
                                    {"mel": ..., "wav": ...} for the same input)
+    seamless_streaming_unity.pt    SeamlessStreaming UnitY (speech encoder+NAR)
+    seamless_streaming_monotonic_decoder.pt   EMMA monotonic text decoder
+    tokenizer_nllb100.model        NLLB-100 SPM for v1/streaming (optional;
+                                   falls back to tokenizer.model)
 
 Golden anchors replayed (values copied from the reference test suite):
 
@@ -135,14 +139,29 @@ class Ctx:
         assert sr == 16000, f"expected 16 kHz fixture, got {sr}"
         return data
 
-    def text_tokenizer(self):
+    def text_tokenizer(self, family: str = "v2"):
+        """Per-family NLLB tokenizer: v2 uses the NLLB-200 tokenizer.model and
+        the v2 card's lang list; v1/streaming are NLLB-100 models whose lang
+        ids come from unity_nllb-100's lang list (and whose SPM is the
+        seamless-m4t-large tokenizer.model — drop it in as
+        tokenizer_nllb100.model, else tokenizer.model is used for both)."""
         from seamless_communication_tpu.assets import load_card
         from seamless_communication_tpu.text.nllb import NllbTokenizer
         from seamless_communication_tpu.text.spm import SentencePieceModel
-        (p,) = self.need("tokenizer.model")
-        card = load_card("seamlessM4T_v2_large")
+        key = f"text_tok_{family}"
+        if key in self._cache:
+            return self._cache[key]
+        if family == "v2":
+            (p,) = self.need("tokenizer.model")
+            card = load_card("seamlessM4T_v2_large")
+        else:
+            p = self.path("tokenizer_nllb100.model") or \
+                self.need("tokenizer.model")[0]
+            card = load_card("unity_nllb-100")
         langs = [f"__{l}__" for l in card.get("langs", [])]
-        return NllbTokenizer(SentencePieceModel.from_file(p), langs=langs)
+        tok = NllbTokenizer(SentencePieceModel.from_file(p), langs=langs)
+        self._cache[key] = tok
+        return tok
 
     def translator(self, family: str):
         """family: 'v2' or 'v1'."""
@@ -151,8 +170,8 @@ class Ctx:
             return self._cache[key]
         from seamless_communication_tpu.assets import load_card
         from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
-            fairseq1_to_fairseq2, load_pt_state_dict, unity_tree_from_fairseq2,
-            vocoder_tree_from_pt,
+            apply_unity_fixups, fairseq1_to_fairseq2, load_pt_state_dict,
+            unity_tree_from_fairseq2, vocoder_tree_from_pt,
         )
         from seamless_communication_tpu.inference.translator import Translator
         from seamless_communication_tpu.models.unity.builder import get_arch
@@ -175,10 +194,25 @@ class Ctx:
         card = load_card(card_name)
         cfg = get_arch(card["model_arch"])
 
+        char_tok = None
+        if family == "v2":
+            (char_p,) = self.need("spm_char_lang38_tc.model")
+            char_tok = CharTokenizer.from_file(char_p)
+
         sd = load_pt_state_dict(ckpt_p)
-        sd = fairseq1_to_fairseq2(sd) if any(
-            k.startswith("encoder.w2v_encoder") or ".w2v_model." in k
-            for k in sd) else sd
+        if any(k.startswith("encoder.w2v_encoder") or ".w2v_model." in k
+               for k in sd):
+            # fairseq1-keyed original checkpoint: key remap + the embedding
+            # fixups the reference applies on this path only (loader.py:116-176
+            # — NLLB-100 dummy-row drop, control-symbol permutation, char
+            # reorder to dictionary order, tied-embedding dedup)
+            sd = fairseq1_to_fairseq2(sd)
+            char_pieces = (["<pad>"] + list(char_tok.spm.pieces)
+                           if char_tok is not None else None)
+            sd = apply_unity_fixups(
+                sd,
+                is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103),
+                char_spm_pieces=char_pieces)
         params = unity_tree_from_fairseq2(sd, v2=(family == "v2"))
         params = jax.tree.map(
             lambda a: jax.numpy.asarray(a, self.dtype()), params)
@@ -191,15 +225,11 @@ class Ctx:
             voc_card = load_card("vocoder_v2" if family == "v2"
                                  else "vocoder_36langs")
             lang_spkr = voc_card.get("lang_spkr_idx_map", lang_spkr)
-
-        char_tok = None
-        if family == "v2":
-            (char_p,) = self.need("spm_char_lang38_tc.model")
-            char_tok = CharTokenizer.from_file(char_p)
         unit_tok = UnitTokenizer(card.get("num_units", 10000),
                                  card.get("unit_langs", []),
                                  card["model_arch"])
-        tr = Translator(params, cfg, self.text_tokenizer(), unit_tok, char_tok,
+        tr = Translator(params, cfg, self.text_tokenizer(family), unit_tok,
+                        char_tok,
                         vocoder_params=voc_params, vocoder_cfg=voc_cfg,
                         lang_spkr_idx_map=lang_spkr)
         self._cache[key] = tr
@@ -310,6 +340,58 @@ def check_pretssel(ctx: Ctx):
     return "waveform finite/nonzero (no recorded activations provided)"
 
 
+def check_streaming(ctx: Ctx):
+    """SeamlessStreaming: convert the fairseq1-keyed streaming UnitY + EMMA
+    monotonic decoder checkpoints and run the online S2T pipeline over the LJ
+    fixture. The reference publishes no streaming golden strings, so this
+    asserts conversion + a coherent online decode (non-empty text)."""
+    import jax
+    import jax.numpy as jnp
+    from seamless_communication_tpu.assets import load_card
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        apply_unity_fixups, fairseq1_to_fairseq2, load_pt_state_dict,
+        monotonic_tree_from_pt, unity_tree_from_fairseq2,
+    )
+    from seamless_communication_tpu.models.monotonic.model import (
+        MonotonicDecoderConfig,
+    )
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.streaming.pipeline import (
+        StreamingSession, build_s2t_pipeline,
+    )
+
+    u_p, m_p = ctx.need("seamless_streaming_unity.pt",
+                        "seamless_streaming_monotonic_decoder.pt")
+    card = load_card("seamless_streaming_unity")
+    cfg = get_arch(card["model_arch"])
+    sd = load_pt_state_dict(u_p)
+    if any(k.startswith("encoder.w2v_encoder") or ".w2v_model." in k
+           for k in sd):
+        sd = fairseq1_to_fairseq2(sd)
+        sd = apply_unity_fixups(
+            sd, is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103))
+    params = jax.tree.map(lambda a: jnp.asarray(a, ctx.dtype()),
+                          unity_tree_from_fairseq2(sd, v2=True))
+    mono_params = jax.tree.map(
+        lambda a: jnp.asarray(a, ctx.dtype()),
+        monotonic_tree_from_pt(load_pt_state_dict(m_p)))
+    mono_cfg = MonotonicDecoderConfig()  # dense_1b defaults
+
+    pipe = build_s2t_pipeline(params, cfg, mono_params, mono_cfg,
+                              ctx.text_tokenizer("nllb100"), tgt_lang="eng")
+    session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
+    parts = []
+    finished = False
+    for _, seg in session.run(ctx.wav()):
+        if isinstance(getattr(seg, "content", None), str) and seg.content:
+            parts.append(seg.content)
+        finished = finished or seg.finished
+    text = " ".join(parts).strip()
+    assert finished, "pipeline did not finish"
+    assert text, "no streaming text emitted"
+    return f"streaming ASR-style S2T emitted: {text[:120]!r}"
+
+
 CHECKS: List[tuple] = [
     ("t2tt_v2", check_t2tt_v2),
     ("t2tt_v1", check_t2tt_v1),
@@ -317,6 +399,7 @@ CHECKS: List[tuple] = [
     ("conformer_shaw", check_conformer_shaw),
     ("aligner", check_aligner),
     ("pretssel", check_pretssel),
+    ("streaming", check_streaming),
 ]
 
 

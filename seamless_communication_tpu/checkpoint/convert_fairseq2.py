@@ -136,6 +136,11 @@ def fairseq1_to_fairseq2(state_dict: Mapping[str, np.ndarray], *,
          r"speech_encoder_frontend.feature_extractor.layers.\1.conv."),
         (rf"{w2v}\.feature_extractor\.conv_layers\.([0-9]+)\.2\.1\.",
          r"speech_encoder_frontend.feature_extractor.layers.\1.layer_norm."),
+        # group-norm variant: only block 0 carries a bare GroupNorm at .2.
+        # (loader.py:211); must stay AFTER the .2.1. rule so layer-norm-style
+        # block-0 keys keep their layer_norm mapping (first-match order)
+        (rf"{w2v}\.feature_extractor\.conv_layers\.0\.2\.",
+         "speech_encoder_frontend.feature_extractor.layers.0.group_norm."),
         # conformer layers
         (rf"{w2v}\.encoder\.layers\.([0-9]+)\.conv_module\.batch_norm\.",
          r"speech_encoder.inner.layers.\1.conv.batch_norm."),
@@ -226,6 +231,16 @@ def fairseq1_to_fairseq2(state_dict: Mapping[str, np.ndarray], *,
              r"text_encoder.layers.\1.self_attn."),
             (r"^text_encoder\.layers\.([0-9]+)\.self_attn_layer_norm\.",
              r"text_encoder.layers.\1.self_attn_layer_norm."),
+            # the reference maps encoder_attn keys under text_encoder too
+            # (loader.py:248-250) — inert for the released checkpoints (their
+            # text encoders have no cross-attention) but kept for exact key-map
+            # parity with the reference table
+            (r"^text_encoder\.layers\.([0-9]+)\.encoder_attn\.out_proj\.",
+             r"text_encoder.layers.\1.encoder_decoder_attn.output_proj."),
+            (r"^text_encoder\.layers\.([0-9]+)\.encoder_attn\.",
+             r"text_encoder.layers.\1.encoder_decoder_attn."),
+            (r"^text_encoder\.layers\.([0-9]+)\.encoder_attn_layer_norm\.",
+             r"text_encoder.layers.\1.encoder_decoder_attn_layer_norm."),
             (r"^text_encoder\.layers\.([0-9]+)\.fc1\.",
              r"text_encoder.layers.\1.ffn.inner_proj."),
             (r"^text_encoder\.layers\.([0-9]+)\.fc2\.",
@@ -526,6 +541,69 @@ def _ar_t2u_tree(sd) -> dict:
 # ---------------------------------------------------------------------------
 # monotonic decoder
 # ---------------------------------------------------------------------------
+
+def monotonic_fairseq1_to_fairseq2(
+        state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """fairseq1 'decoder.*'-keyed monotonic (EMMA) checkpoint -> fairseq2 key
+    space, reproducing ``convert_monotonic_checkpoint`` (reference
+    monotonic_decoder/loader.py:22-77): the key remap (energy-layer renames
+    BEFORE the generic encoder_attn rule — first match wins), the NLLB-100
+    dummy-row drop, the tied embedding from final_proj, and the control-symbol
+    permutation (BOS,PAD,EOS,UNK)->(PAD,UNK,BOS,EOS) of the first four rows."""
+    rules = [
+        (r"^decoder\.embed_tokens\.", "text_decoder_frontend.embed."),
+        (r"^decoder\.layers\.([0-9]+)\.self_attn\.out_proj\.",
+         r"text_decoder.layers.\1.self_attn.output_proj."),
+        (r"^decoder\.layers\.([0-9]+)\.self_attn\.",
+         r"text_decoder.layers.\1.self_attn."),
+        (r"^decoder\.layers\.([0-9]+)\.self_attn_layer_norm\.",
+         r"text_decoder.layers.\1.self_attn_layer_norm."),
+        (r"^decoder\.layers\.([0-9]+)\.encoder_attn\.out_proj\.",
+         r"text_decoder.layers.\1.encoder_decoder_attn.output_proj."),
+        (r"^decoder\.layers\.([0-9]+)\.encoder_attn\.energy_bias",
+         r"text_decoder.layers.\1.p_choose_layer.energy_bias"),
+        (r"^decoder\.layers\.([0-9]+)\.encoder_attn\.source_energy_layer\.",
+         r"text_decoder.layers.\1.p_choose_layer.k_energy_proj."),
+        (r"^decoder\.layers\.([0-9]+)\.encoder_attn\.target_energy_layer\.",
+         r"text_decoder.layers.\1.p_choose_layer.q_energy_proj."),
+        (r"^decoder\.layers\.([0-9]+)\.encoder_attn\.",
+         r"text_decoder.layers.\1.encoder_decoder_attn."),
+        (r"^decoder\.layers\.([0-9]+)\.encoder_attn_layer_norm\.",
+         r"text_decoder.layers.\1.encoder_decoder_attn_layer_norm."),
+        (r"^decoder\.layers\.([0-9]+)\.fc1\.",
+         r"text_decoder.layers.\1.ffn.inner_proj."),
+        (r"^decoder\.layers\.([0-9]+)\.fc2\.",
+         r"text_decoder.layers.\1.ffn.output_proj."),
+        (r"^decoder\.layers\.([0-9]+)\.final_layer_norm\.",
+         r"text_decoder.layers.\1.ffn_layer_norm."),
+        (r"^decoder\.layer_norm\.", "text_decoder.layer_norm."),
+        (r"^decoder\.output_projection\.", "final_proj."),
+    ]
+    out: Dict[str, np.ndarray] = {}
+    for key, val in state_dict.items():
+        for rx, repl in ((re.compile(p), r) for p, r in rules):
+            if rx.match(key):
+                out[rx.sub(repl, key)] = np.asarray(val)
+                break
+        # unmatched (versions, _float_tensor, ...) dropped
+    embeds = np.array(out["final_proj.weight"])
+    if embeds.shape[0] == 256103:  # NLLB-100 dummy token
+        embeds = embeds[:-1]
+    # (BOS, PAD, EOS, UNK) -> (PAD, UNK, BOS, EOS)
+    embeds[[0, 1, 2, 3]] = embeds[[1, 3, 0, 2]]
+    out["final_proj.weight"] = embeds
+    out["text_decoder_frontend.embed.weight"] = embeds
+    return out
+
+
+def monotonic_tree_from_pt(sd: Mapping[str, np.ndarray]) -> dict:
+    """Monotonic decoder .pt in either key space -> param tree; detects
+    fairseq2-native checkpoints the same way the reference does
+    (monotonic_decoder/loader.py:28)."""
+    if "text_decoder.layers.0.self_attn.k_proj.weight" not in sd:
+        sd = monotonic_fairseq1_to_fairseq2(sd)
+    return monotonic_tree_from_fairseq2(sd)
+
 
 def monotonic_tree_from_fairseq2(sd: Mapping[str, np.ndarray]) -> dict:
     n = _num_layers(sd, r"text_decoder\.layers\.([0-9]+)\.")

@@ -7,7 +7,16 @@ weight-norm g/v pairs), torch.save it, then run the production loaders
 (load_pt_state_dict -> *_tree_from_fairseq2) and require the EXACT original
 pytree back — any transposition, key-name, or stacking mistake in the converter
 breaks value equality (dims are chosen non-square so transposes can't silently
-cancel)."""
+cancel).
+
+Caveat: exporter and importer share one reading of the fairseq1/fairseq2 key
+names, so a consistently MISREAD key name passes both directions and would only
+fail on a real checkpoint. Mitigation: the converter rule tables were audited
+mechanically against the reference loaders' key maps (unity loader.py:179-389,
+monotonic_decoder loader.py:31-49, conformer_shaw loader.py:44-74) by
+synthesizing a concrete key per reference pattern and requiring identical
+mappings — zero drift; final backstop is scripts/validate_real_checkpoints.py
+when weights are reachable."""
 
 import numpy as np
 import pytest
@@ -582,6 +591,55 @@ def test_monotonic_pt_roundtrip(tmp_path):
     path = tmp_path / "monotonic.pt"
     torch.save({"model": export_monotonic(params)}, path)
     got = monotonic_tree_from_fairseq2(load_pt_state_dict(str(path)))
+    _assert_trees_equal(params, got)
+
+
+def test_monotonic_fairseq1_pt_roundtrip(tmp_path):
+    """Real streaming checkpoints are fairseq1-keyed ('decoder.*',
+    encoder_attn.{source,target}_energy_layer / energy_bias — reference
+    monotonic_decoder/loader.py:31-49). Export to THAT key space (with the
+    control-symbol permutation pre-inverted) and require monotonic_tree_from_pt
+    to detect + remap + fix up back to the exact original tree."""
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        monotonic_tree_from_pt,
+    )
+
+    cfg = MonotonicDecoderConfig(
+        model_dim=64, num_layers=2, num_heads=4, ffn_inner_dim=128,
+        vocab_size=256, num_monotonic_energy_layers=2, pre_decision_ratio=2)
+    params = monotonic_decoder_init(jax.random.PRNGKey(3), cfg)
+    sd: dict = {"decoder.version": torch.zeros(1),
+                "decoder.embed_positions._float_tensor": torch.zeros(1)}
+    for i, lp in enumerate(_unstack(params["layers"])):
+        p = f"decoder.layers.{i}"
+        _x_ln(sd, f"{p}.self_attn_layer_norm", lp["self_attn_layer_norm"])
+        for k in ("q_proj", "k_proj", "v_proj"):
+            _x_lin(sd, f"{p}.self_attn.{k}", lp["self_attn"][k])
+        _x_lin(sd, f"{p}.self_attn.out_proj", lp["self_attn"]["output_proj"])
+        _x_ln(sd, f"{p}.encoder_attn_layer_norm", lp["cross_attn_layer_norm"])
+        for k in ("q_proj", "k_proj", "v_proj"):
+            _x_lin(sd, f"{p}.encoder_attn.{k}", lp["cross_attn"][k])
+        _x_lin(sd, f"{p}.encoder_attn.out_proj", lp["cross_attn"]["output_proj"])
+        sd[f"{p}.encoder_attn.energy_bias"] = _t(
+            lp["p_choose"]["energy_bias"])
+        for j, (qp, kp) in enumerate(zip(lp["p_choose"]["q_energy_proj"],
+                                         lp["p_choose"]["k_energy_proj"])):
+            _x_lin(sd, f"{p}.encoder_attn.target_energy_layer.layers.{2 * j}", qp)
+            _x_lin(sd, f"{p}.encoder_attn.source_energy_layer.layers.{2 * j}", kp)
+        _x_ln(sd, f"{p}.final_layer_norm", lp["ffn"]["layer_norm"])
+        _x_lin(sd, f"{p}.fc1", lp["ffn"]["inner_proj"])
+        _x_lin(sd, f"{p}.fc2", lp["ffn"]["output_proj"])
+    _x_ln(sd, "decoder.layer_norm", params["layer_norm"])
+    # invert the (BOS,PAD,EOS,UNK)->(PAD,UNK,BOS,EOS) permutation the
+    # converter applies: f1[[1,3,0,2]] = ours[[0,1,2,3]]
+    emb = np.array(np.asarray(params["embed"]["embedding"]))
+    emb[[1, 3, 0, 2]] = emb[[0, 1, 2, 3]].copy()
+    sd["decoder.output_projection.weight"] = _t(emb)
+    sd["decoder.embed_tokens.weight"] = _t(emb)
+
+    path = tmp_path / "monotonic_f1.pt"
+    torch.save({"model": sd}, path)
+    got = monotonic_tree_from_pt(load_pt_state_dict(str(path)))
     _assert_trees_equal(params, got)
 
 
