@@ -468,5 +468,37 @@ def main() -> None:
     }))
 
 
+def _wait_for_backend(deadline_s: float) -> None:
+    """Block until the TPU backend initializes (the remote axon service can be
+    transiently UNAVAILABLE); raise the last error past the deadline."""
+    import jax
+
+    t0, delay = time.time(), 30.0
+    while True:
+        try:
+            jax.devices()
+            return
+        except Exception as e:  # noqa: BLE001 - backend init raises RuntimeError
+            if time.time() - t0 > deadline_s:
+                raise
+            print(f"# TPU backend unavailable ({type(e).__name__}); retrying "
+                  f"in {delay:.0f}s", flush=True)
+            # jax caches backend-init failures per process; drop them so the
+            # next jax.devices() actually re-dials the service
+            try:
+                from jax._src import xla_bridge as _xb
+                _xb._backend_errors.clear()
+                _xb._clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay)
+            delay = min(delay * 1.5, 120.0)
+
+
 if __name__ == "__main__":
+    import os
+
+    # The scored bench must survive a transient axon-service outage: wait for
+    # the backend (bounded) before starting the one-shot measurement.
+    _wait_for_backend(float(os.environ.get("BENCH_BACKEND_DEADLINE_S", "1500")))
     main()
