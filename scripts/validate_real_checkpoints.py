@@ -26,6 +26,7 @@ Expected files in --checkpoint-dir (any subset; missing files SKIP that family):
                                    {"mel": ..., "wav": ...} for the same input)
     seamless_streaming_unity.pt    SeamlessStreaming UnitY (speech encoder+NAR)
     seamless_streaming_monotonic_decoder.pt   EMMA monotonic text decoder
+    m2m_expressive_unity.pt        SeamlessExpressive prosody UnitY2 (gated)
     tokenizer_nllb100.model        NLLB-100 SPM for v1/streaming (optional;
                                    falls back to tokenizer.model)
 
@@ -340,6 +341,83 @@ def check_pretssel(ctx: Ctx):
     return "waveform finite/nonzero (no recorded activations provided)"
 
 
+def check_expressivity(ctx: Ctx):
+    """SeamlessExpressive: convert the gated prosody-UnitY2
+    (m2m_expressive_unity.pt) + PRETSSEL 16 kHz vocoder and run expressive
+    S2ST on the LJ fixture — dual fbank normalization (per-utterance CMVN for
+    translation, gcmvn for prosody), ECAPA prosody encoder + FiLM, duration
+    factor 1.0 (reference cli/expressivity/predict/predict.py:56-179). The
+    reference publishes no expressive golden strings; asserts conversion plus
+    text + a finite nonzero expressive waveform."""
+    import jax
+    import jax.numpy as jnp
+    from seamless_communication_tpu.assets import load_card
+    from seamless_communication_tpu.audio.fbank import fbank_numpy
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        apply_unity_fixups, fairseq1_to_fairseq2, load_pt_state_dict,
+        pretssel_tree_from_pt, unity_tree_from_fairseq2,
+    )
+    from seamless_communication_tpu.inference.pretssel_generator import (
+        PretsselGenerator,
+    )
+    from seamless_communication_tpu.inference.translator import Translator
+    from seamless_communication_tpu.models.pretssel.vocoder import (
+        pretssel_16khz_config,
+    )
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.models.unity.unit_tokenizer import (
+        UnitTokenizer,
+    )
+    from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+
+    e_p, v_p, char_p = ctx.need("m2m_expressive_unity.pt",
+                                "pretssel_melhifigan_wm-16khz.pt",
+                                "spm_char_lang38_tc.model")
+    card = load_card("seamless_expressivity")
+    cfg = get_arch(card["model_arch"])
+    char_tok = CharTokenizer.from_file(char_p)
+
+    sd = load_pt_state_dict(e_p)
+    if any(".w2v_model." in k for k in sd):   # prefix is s2t_model.encoder...
+        sd = fairseq1_to_fairseq2(sd, has_prosody=True)
+        sd = apply_unity_fixups(
+            sd, is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103),
+            char_spm_pieces=["<pad>"] + list(char_tok.spm.pieces))
+    params = jax.tree.map(lambda a: jnp.asarray(a, ctx.dtype()),
+                          unity_tree_from_fairseq2(sd, v2=True))
+    assert "prosody_encoder" in params, "ECAPA prosody encoder missing"
+
+    voc_cfg = pretssel_16khz_config()
+    voc_params = jax.tree.map(
+        lambda a: jnp.asarray(a, ctx.dtype()),
+        pretssel_tree_from_pt(load_pt_state_dict(v_p), voc_cfg))
+    voc_card = load_card("vocoder_pretssel_16khz")
+    mc = voc_card.get("model_config") or {}
+    gcmvn_mean = np.asarray(mc.get("gcmvn_stats", {}).get("mean", np.zeros(80)))
+    gcmvn_std = np.asarray(mc.get("gcmvn_stats", {}).get("std", np.ones(80)))
+    langs = mc.get("langs", [])
+    generator = PretsselGenerator(
+        voc_params, voc_cfg,
+        lang_to_index={l: i for i, l in enumerate(langs)})
+
+    unit_tok = UnitTokenizer(card.get("num_units", 10000),
+                             card.get("unit_langs", []), card["model_arch"])
+    tr = Translator(params, cfg, ctx.text_tokenizer("nllb100"), unit_tok,
+                    char_tok)
+    wav = ctx.wav()
+    fbank = fbank_numpy(wav)
+    gcmvn = ((fbank - gcmvn_mean[None]) / gcmvn_std[None]).astype(np.float32)
+    texts, speech = tr.predict(wav, "s2st", "fra",
+                               duration_factor=1.0,
+                               prosody_encoder_input=gcmvn)
+    assert texts and texts[0], "no translated text"
+    wavs = generator.predict(speech.units, "fra", gcmvn[None],
+                             np.array([gcmvn.shape[0]]), duration_factor=1.0)
+    w = np.asarray(wavs[0], np.float32)
+    assert w.size and np.isfinite(w).all() and float(np.abs(w).max()) > 1e-4
+    return f"expressive S2ST: text={texts[0][:60]!r}, {w.size} samples"
+
+
 def check_streaming(ctx: Ctx):
     """SeamlessStreaming: convert the fairseq1-keyed streaming UnitY + EMMA
     monotonic decoder checkpoints and run the online S2T pipeline over the LJ
@@ -399,6 +477,7 @@ CHECKS: List[tuple] = [
     ("conformer_shaw", check_conformer_shaw),
     ("aligner", check_aligner),
     ("pretssel", check_pretssel),
+    ("expressivity", check_expressivity),
     ("streaming", check_streaming),
 ]
 
