@@ -55,30 +55,25 @@ class ExpressiveDemo:
     def load(cls, model_name: str = "seamless_expressivity",
              vocoder_name: str = "vocoder_pretssel", *,
              local_hf_path: Optional[str] = None) -> "ExpressiveDemo":
-        from seamless_communication_tpu.assets import load_card, resolve_asset
-        from seamless_communication_tpu.checkpoint.serialize import load_params
+        from seamless_communication_tpu.assets import load_card
         from seamless_communication_tpu.cli.loading import (
-            load_unity_model_and_tokenizers,
+            load_pretssel_vocoder, load_unity_model_and_tokenizers,
         )
         from seamless_communication_tpu.inference.pretssel_generator import (
             PretsselGenerator,
         )
         from seamless_communication_tpu.inference.translator import Translator
-        from seamless_communication_tpu.models.pretssel.vocoder import (
-            PretsselConfig,
-        )
 
         params, cfg, text_tok, unit_tok, char_tok = (
             load_unity_model_and_tokenizers(model_name,
                                             local_hf_path=local_hf_path))
         translator = Translator(params, cfg, text_tok, unit_tok, char_tok)
 
-        voc_card = load_card(vocoder_name)
-        voc_params = load_params(resolve_asset(voc_card["checkpoint"]))
-        mc = voc_card.get("model_config") or {}
+        voc_params, voc_cfg, mc, sample_rate = load_pretssel_vocoder(
+            vocoder_name)
         langs = mc.get("langs", [])
         generator = PretsselGenerator(
-            voc_params, PretsselConfig(),
+            voc_params, voc_cfg, sample_rate=sample_rate,
             lang_to_index={l: i for i, l in enumerate(langs)})
         gcmvn = mc.get("gcmvn_stats", {})
         demo = cls(translator, generator,
@@ -116,7 +111,8 @@ class ExpressiveDemo:
             speech.units, _code(target_language), gcmvn[None],
             np.array([gcmvn.shape[0]]), duration_factor=duration_factor)
         text_out = remove_prosody_tokens_from_text(str(texts[0]))
-        return (AUDIO_SAMPLE_RATE, np.asarray(wavs[0], np.float32)), text_out
+        return (self.generator.sample_rate,
+                np.asarray(wavs[0], np.float32)), text_out
 
 
 def make_expressive_runner(demo: ExpressiveDemo,

@@ -16,7 +16,12 @@ from typing import Any, Dict, Optional
 import yaml
 
 CARDS_DIR = Path(__file__).parent / "cards"
-_GATED = {"seamless_expressivity", "vocoder_pretssel", "vocoder_pretssel_16khz"}
+# card name -> file name inside the gated dir, matching the reference's
+# add_gated_assets layout (store.py:17-30) so a user's --gated-model-dir
+# drops in unchanged; <card>.pt also accepted
+_GATED = {"seamless_expressivity": "m2m_expressive_unity.pt",
+          "vocoder_pretssel": "pretssel_melhifigan_wm.pt",
+          "vocoder_pretssel_16khz": "pretssel_melhifigan_wm-16khz.pt"}
 
 
 def load_card(name: str, *, cards_dir: Optional[Path] = None) -> Dict[str, Any]:
@@ -45,9 +50,11 @@ def load_card(name: str, *, cards_dir: Optional[Path] = None) -> Dict[str, Any]:
         card = merged
     gated_dir = os.environ.get("SEAMLESS_GATED_ASSETS")
     if name in _GATED and gated_dir:
-        local = Path(gated_dir) / f"{name}.pt"
-        if local.exists():
-            card["checkpoint"] = str(local)
+        for fname in (_GATED[name], f"{name}.pt"):
+            local = Path(gated_dir) / fname
+            if local.exists():
+                card["checkpoint"] = str(local)
+                break
     return card
 
 

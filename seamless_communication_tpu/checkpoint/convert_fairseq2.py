@@ -320,6 +320,28 @@ def fairseq1_to_fairseq2(state_dict: Mapping[str, np.ndarray], *,
     return out
 
 
+def is_fairseq1_unity(sd: Mapping[str, np.ndarray]) -> bool:
+    """True for original fairseq1-keyed UnitY checkpoints (all released .pt
+    files); fairseq2-native key spaces pass through untouched."""
+    return any(".w2v_model." in k for k in sd)
+
+
+def fairseq1_to_fairseq2_auto(
+        state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """fairseq1_to_fairseq2 with the family flags detected from the key
+    prefixes themselves (the reference derives them from the model config;
+    the prefixes are unambiguous per family — loader.py:183-200):
+    's2t_model.*' = expressive (prosody), 'target_letter_decoder.*' = UnitY
+    with t2u, 'shared_decoder.*' = S2T-only with text encoder."""
+    has_prosody = any(k.startswith("s2t_model.") for k in state_dict)
+    has_t2u = has_prosody or any(k.startswith("target_letter_decoder.")
+                                 for k in state_dict)
+    has_text_encoder = any(k.startswith("text_encoder.") for k in state_dict)
+    return fairseq1_to_fairseq2(state_dict, has_prosody=has_prosody,
+                                has_t2u=has_t2u,
+                                has_text_encoder=has_text_encoder)
+
+
 def apply_unity_fixups(sd: Dict[str, np.ndarray], *, is_nllb_100: bool,
                        char_spm_pieces: Optional[Sequence[str]] = None,
                        has_text_encoder: bool = True) -> Dict[str, np.ndarray]:

@@ -22,32 +22,35 @@ def main() -> None:
     parser.add_argument("--output_path", type=str, default="out.wav")
     parser.add_argument("--duration_factor", type=float, default=1.0)
     parser.add_argument("--local_hf_path", type=str, default=None)
+    parser.add_argument("--gated_model_dir", type=str, default=None,
+                        help="dir with gated checkpoints (m2m_expressive_unity.pt, pretssel_melhifigan_wm*.pt); sets SEAMLESS_GATED_ASSETS")
     args = parser.parse_args()
+    if args.gated_model_dir:
+        import os
+        os.environ["SEAMLESS_GATED_ASSETS"] = args.gated_model_dir
 
-    from seamless_communication_tpu.assets import load_card, resolve_asset
     from seamless_communication_tpu.audio.fbank import fbank_numpy
     from seamless_communication_tpu.audio.wav import read_wav, resample, write_wav
-    from seamless_communication_tpu.checkpoint.serialize import load_params
-    from seamless_communication_tpu.cli.loading import load_unity_model_and_tokenizers
+    from seamless_communication_tpu.cli.loading import (
+        load_pretssel_vocoder, load_unity_model_and_tokenizers,
+    )
     from seamless_communication_tpu.inference.pretssel_generator import (
         PretsselGenerator,
     )
     from seamless_communication_tpu.inference.translator import Translator
-    from seamless_communication_tpu.models.pretssel.vocoder import PretsselConfig
 
     params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
         args.model_name, local_hf_path=args.local_hf_path)
     translator = Translator(params, cfg, text_tok, unit_tok, char_tok)
 
-    voc_card = load_card(args.vocoder_name)
-    voc_params = load_params(resolve_asset(voc_card["checkpoint"]))
-    voc_cfg = PretsselConfig()
-    mc = voc_card.get("model_config") or {}
+    voc_params, voc_cfg, mc, sample_rate = load_pretssel_vocoder(
+        args.vocoder_name)
     gcmvn_mean = np.asarray(mc.get("gcmvn_stats", {}).get("mean", np.zeros(80)))
     gcmvn_std = np.asarray(mc.get("gcmvn_stats", {}).get("std", np.ones(80)))
-    langs = voc_card.get("model_config", {}).get("langs", [])
+    langs = mc.get("langs", [])
     generator = PretsselGenerator(
-        voc_params, voc_cfg, lang_to_index={l: i for i, l in enumerate(langs)})
+        voc_params, voc_cfg, sample_rate=sample_rate,
+        lang_to_index={l: i for i, l in enumerate(langs)})
 
     wav, sr = read_wav(args.input)
     wav = resample(wav, sr, 16000)
@@ -64,7 +67,7 @@ def main() -> None:
     wavs = generator.predict(speech.units, args.tgt_lang, gcmvn[None],
                              np.array([gcmvn.shape[0]]),
                              duration_factor=args.duration_factor)
-    write_wav(args.output_path, wavs[0], 16000)
+    write_wav(args.output_path, wavs[0], sample_rate)
     logger.info("Saved expressive waveform to %s", args.output_path)
 
 

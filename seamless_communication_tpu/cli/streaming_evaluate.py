@@ -32,7 +32,12 @@ def main() -> None:
     parser.add_argument("--min-unit-chunk-size", type=int, default=50)
     parser.add_argument("--output", type=str, default="streaming_eval")
     parser.add_argument("--local-hf-path", type=str, default=None)
+    parser.add_argument("--gated-model-dir", type=str, default=None,
+                        help="dir with gated checkpoints (m2m_expressive_unity.pt, pretssel_melhifigan_wm*.pt); sets SEAMLESS_GATED_ASSETS")
     args = parser.parse_args()
+    if args.gated_model_dir:
+        import os
+        os.environ["SEAMLESS_GATED_ASSETS"] = args.gated_model_dir
 
     from seamless_communication_tpu.audio.wav import read_wav, resample
     from seamless_communication_tpu.cli.loading import (
