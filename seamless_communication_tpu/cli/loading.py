@@ -111,6 +111,34 @@ def load_unity_model_and_tokenizers(card_name: str, *, dtype=None,
     return params, cfg, text_tok, unit_tok, char_tok
 
 
+def load_monotonic_decoder(card_name: str = "seamless_streaming_monotonic_decoder",
+                           *, dtype=None):
+    """-> (mono_params, MonotonicDecoderConfig). Original torch ``.pt``
+    (fairseq1 or fairseq2 keyed) converts via monotonic_tree_from_pt; anything
+    else loads as this framework's serialized params."""
+    import jax
+    import jax.numpy as jnp
+
+    from seamless_communication_tpu.models.monotonic.model import (
+        MonotonicDecoderConfig,
+    )
+
+    card = load_card(card_name)
+    cfg = MonotonicDecoderConfig()   # dense_1b (the only released arch)
+    path = resolve_asset(str(card["checkpoint"]))
+    if path.endswith(".pt"):
+        from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+            load_pt_state_dict, monotonic_tree_from_pt,
+        )
+        tree = monotonic_tree_from_pt(load_pt_state_dict(path))
+    else:
+        from seamless_communication_tpu.checkpoint.serialize import load_params
+        tree = load_params(path)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype or jnp.bfloat16),
+                          tree)
+    return params, cfg
+
+
 def load_pretssel_vocoder(card_name: str = "vocoder_pretssel", *, dtype=None):
     """-> (voc_params, PretsselConfig, model_config dict, sample_rate).
 

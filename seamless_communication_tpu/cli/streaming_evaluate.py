@@ -41,10 +41,7 @@ def main() -> None:
 
     from seamless_communication_tpu.audio.wav import read_wav, resample
     from seamless_communication_tpu.cli.loading import (
-        load_unity_model_and_tokenizers, load_vocoder,
-    )
-    from seamless_communication_tpu.models.monotonic.model import (
-        MonotonicDecoderConfig,
+        load_monotonic_decoder, load_unity_model_and_tokenizers, load_vocoder,
     )
     from seamless_communication_tpu.streaming.evaluator import evaluate_streaming
     from seamless_communication_tpu.streaming.pipeline import (
@@ -54,13 +51,8 @@ def main() -> None:
     unity_params, unity_cfg, text_tok, unit_tok, char_tok = \
         load_unity_model_and_tokenizers(args.unity_name,
                                         local_hf_path=args.local_hf_path)
-    # monotonic decoder checkpoint: fairseq2-only release; convert via
-    # checkpoint.convert_fairseq2 and load here
-    from seamless_communication_tpu.checkpoint.serialize import load_params
-    from seamless_communication_tpu.assets import load_card, resolve_asset
-    mono_card = load_card(args.monotonic_name)
-    mono_cfg = MonotonicDecoderConfig()
-    mono_params = load_params(resolve_asset(mono_card["checkpoint"]))
+    # original EMMA .pt (fairseq1 keyed) converts in load_monotonic_decoder
+    mono_params, mono_cfg = load_monotonic_decoder(args.monotonic_name)
 
     wavs, refs = [], []
     with open(args.data_file) as f:

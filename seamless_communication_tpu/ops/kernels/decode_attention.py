@@ -252,6 +252,53 @@ def _indexed_reference(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
     return out.astype(dtype)
 
 
+def _indexed_onehot(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
+                    row_src, step):
+    """Vectorized lazy-reorder decode attention: the per-(beam, position)
+    row-origin gather is folded into plain MXU einsums against a one-hot of
+    ``row_src`` — no Pallas, no take_along_axis over the cache, no permuted
+    write-back.
+
+    Every logical beam attends against EVERY physical slot
+    (``bhd,shtd->bsht``), then the (B, B, T) one-hot selects the origin row's
+    logit per position; the value contraction folds the same one-hot into the
+    probabilities (``bsht,shtd->bhd``). The caches are read exactly ONCE and
+    never written; the extra B× MXU flops are free — the decode step is
+    HBM-bound (docs/performance.md). Logits are bit-identical to
+    ``_indexed_reference`` (the select adds exact zeros); the value
+    contraction reassociates the same products, so outputs match to f32
+    rounding. Memory for the (B,B,H,T) logit intermediate caps the useful B
+    (the wrapper falls back to the gather formulation for large B·T)."""
+    dtype = q.dtype
+    B, H, T, Dh = k_cache.shape
+    # per-row scale selects are tiny (B,H,T) — gather directly
+    ks = jnp.take_along_axis(k_scale, row_src[:, None, :], axis=0)
+    vs = jnp.take_along_axis(v_scale, row_src[:, None, :], axis=0)
+    # w[b, s, t] = 1 iff logical beam b's row t lives in physical slot s
+    w = (row_src[:, None, :]
+         == jnp.arange(B, dtype=row_src.dtype)[None, :, None])
+
+    lall = jnp.einsum("bhd,shtd->bsht", q, k_cache.astype(dtype),
+                      preferred_element_type=jnp.float32)
+    logits = jnp.sum(lall * w[:, :, None, :], axis=1)          # (B, H, T)
+    logits = logits * ks / math.sqrt(Dh)
+    lcur = jnp.einsum("bhd,bhd->bh", q, k_t,
+                      preferred_element_type=jnp.float32) / math.sqrt(Dh)
+    t = jnp.arange(T)[None, None, :]
+    valid = t < step
+    logits = jnp.where(valid, logits, NEG)
+    m = jnp.maximum(jnp.max(logits, axis=-1), lcur)
+    p = jnp.where(valid, jnp.exp(logits - m[..., None]), 0.0)
+    pc = jnp.exp(lcur - m)
+    den = jnp.sum(p, axis=-1) + pc
+
+    pw = (p * vs)[:, None, :, :] * w[:, :, None, :]            # (B, S, H, T)
+    out = jnp.einsum("bsht,shtd->bhd", pw.astype(dtype), v_cache.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = (out + pc[..., None] * v_t.astype(jnp.float32)) / den[..., None]
+    return out.astype(dtype)
+
+
 def _indexed_kernel(step_ref, q_ref, kt_ref, vt_ref, kc_ref, vc_ref,
                     ks_ref, vs_ref, rs_ref, out_ref, *, dh: int):
     """Single-program kernel: all beams' caches resident in VMEM once.
@@ -347,11 +394,30 @@ def indexed_decode_self_attention_int8(q, k_t, v_t, k_cache, v_cache,
     maps (logical beam, position) -> physical slot. Returns out (B,H,Dh);
     the caller quantizes and writes the new row at [b, :, step] and updates
     ``row_src`` (see transformer_decoder_step).
+
+    Formulation is selected by SEAMLESS_LAZY_KERNEL: "onehot" (default —
+    vectorized one-hot einsums, pure XLA, see ``_indexed_onehot``), "pallas"
+    (the single-program kernel; measured slower, kept for reference), or
+    "gather" (``_indexed_reference``). Large B·(B,H,T) intermediates fall
+    back from onehot to gather.
     """
     import os
 
+    kind = os.environ.get("SEAMLESS_LAZY_KERNEL", "onehot")
+    if use_pallas is not None:
+        # explicit request (tests): honor it
+        kind = "pallas" if use_pallas else "gather"
+    if kind == "onehot":
+        B, H, T, _ = k_cache.shape
+        # (B,B,H,T) f32 logit intermediate; cap it at ~64 MB
+        if B * B * H * T * 4 <= 64 * 1024 * 1024:
+            return _indexed_onehot(q, k_t, v_t, k_cache, v_cache,
+                                   k_scale, v_scale, row_src, step)
+        kind = "gather"
+
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
+        use_pallas = (kind == "pallas"
+                      and jax.default_backend() == "tpu"
                       and os.environ.get("SEAMLESS_PALLAS_DECODE") != "0")
     if use_pallas:
         B, H, T, Dh = k_cache.shape

@@ -221,14 +221,15 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
                 lp["cross_attn"], enc_out, H) for lp in layer_ps]
             zs = lambda: tuple(jnp.zeros(shape[1:4], jnp.float32)
                                for _ in range(L))
-            # identity row-origin table for opt-in lazy beam reorder (see
-            # DecoderCacheQ8.row_src). Only materialized when the lazy path is
-            # active: a row_src-carrying cache must never be passed through a
-            # PHYSICAL beam gather that also permutes the table (double
-            # indirection) — keeping it None by default makes the classic
-            # reorder paths (incl. beam_search's axis heuristic) safe.
+            # identity row-origin table for LAZY beam reorder (see
+            # DecoderCacheQ8.row_src) — the default for per-layer int8 decode
+            # since the vectorized one-hot formulation measured faster than
+            # the physical-gather Pallas kernel (docs/performance.md;
+            # SEAMLESS_LAZY_REORDER=0 restores the classic reorder).
+            # decoder_cache_beam_reorder composes through the table if a
+            # row_src-carrying cache is physically reordered (test-only path).
             row_src = None
-            if os.environ.get("SEAMLESS_LAZY_REORDER") == "1":
+            if os.environ.get("SEAMLESS_LAZY_REORDER", "1") == "1":
                 row_src = jnp.broadcast_to(
                     jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
             return DecoderCacheQ8(
@@ -288,6 +289,27 @@ def decoder_cache_beam_reorder(cache, flat_src: jax.Array):
         # per-layer caches: gather on the leading (contiguous) beam axis
         take = lambda xs: tuple(x[flat_src] for x in xs)
         if isinstance(cache, DecoderCacheQ8):
+            if getattr(cache, "row_src", None) is not None:
+                # lazy (row-origin) cache through a PHYSICAL reorder: gather
+                # each row through the composed origin table and reset the
+                # table to identity. With an identity table (the only state a
+                # cache_reorder-mode search ever produces, since the lazy
+                # branch needs beam_src) this equals the plain beam gather.
+                rs = cache.row_src[flat_src]                       # (B, T)
+                idx4 = rs[:, None, :, None]
+                idx3 = rs[:, None, :]
+                take4 = lambda xs: tuple(
+                    jnp.take_along_axis(x, idx4, axis=0) for x in xs)
+                take3 = lambda xs: tuple(
+                    jnp.take_along_axis(x, idx3, axis=0) for x in xs)
+                B = rs.shape[0]
+                ident = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None], rs.shape)
+                return cache._replace(
+                    self_k=take4(cache.self_k), self_v=take4(cache.self_v),
+                    self_k_scale=take3(cache.self_k_scale),
+                    self_v_scale=take3(cache.self_v_scale),
+                    row_src=ident)
             return cache._replace(
                 self_k=take(cache.self_k), self_v=take(cache.self_v),
                 self_k_scale=take(cache.self_k_scale),
@@ -490,14 +512,16 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
         sks, svs = list(cache.self_k_scale), list(cache.self_v_scale)
     T = sk[0].shape[2]
     pos_is_step = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2) == step
-    # Lazy (row-origin indexed) reorder is opt-in: it eliminates the physical
-    # cache permutation + carry copies, but the current indexed kernel's
-    # serial per-beam/per-head structure measured SLOWER end-to-end than the
-    # fused gather kernel (0.89 vs 0.44 ms/step attention on the v2-large
-    # bench; docs/performance.md) — revisit with a vectorized kernel.
+    # Lazy (row-origin indexed) reorder is the DEFAULT for the per-layer int8
+    # beam decode: it eliminates the physical cache permutation + write-back +
+    # carry copies, reading each cache exactly once per step through the
+    # vectorized one-hot formulation (decode_attention._indexed_onehot). The
+    # earlier serial Pallas indexed kernel measured slower (0.89 vs 0.44
+    # ms/step attention); the one-hot einsum beat both (docs/performance.md).
+    # SEAMLESS_LAZY_REORDER=0 restores the classic physical reorder.
     lazy = (int8 and beam_src is not None
             and getattr(cache, "row_src", None) is not None
-            and os.environ.get("SEAMLESS_LAZY_REORDER") == "1")
+            and os.environ.get("SEAMLESS_LAZY_REORDER", "1") == "1")
     if lazy:
         # lazy beam reorder: inherit the source beam's row-origin history and
         # stamp this step's row as locally-written; the KV buffers themselves

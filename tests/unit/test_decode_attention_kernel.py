@@ -106,3 +106,49 @@ def test_indexed_reference_matches_physical_gather(data):
                              d["ks"], d["vs"], row_src, step)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_full[0]),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("step", [0, 5, T - 1])
+def test_indexed_onehot_matches_indexed_reference(data, step):
+    """Vectorized lazy-reorder formulation (the SEAMLESS_LAZY_KERNEL=onehot
+    default): one-hot einsum select must match the row-origin gather
+    reference — logits bit-identically, output to f32 reassociation."""
+    from seamless_communication_tpu.ops.kernels.decode_attention import (
+        _indexed_onehot, _indexed_reference,
+    )
+    d = data
+    rng = np.random.default_rng(4)
+    row_src = jnp.asarray(rng.integers(0, B, (B, T)), jnp.int32)
+    args = (d["q"], d["kt"], d["vt"], d["kc"], d["vc"], d["ks"], d["vs"],
+            row_src, jnp.int32(step))
+    ref = _indexed_reference(*args)
+    got = _indexed_onehot(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_indexed_dispatch_default_is_onehot(data, monkeypatch):
+    """indexed_decode_self_attention_int8 with no explicit use_pallas must
+    route through the onehot formulation (and fall back to gather above the
+    intermediate-size cap)."""
+    from seamless_communication_tpu.ops.kernels import decode_attention as DA
+
+    d = data
+    rng = np.random.default_rng(5)
+    row_src = jnp.asarray(rng.integers(0, B, (B, T)), jnp.int32)
+    args = (d["q"], d["kt"], d["vt"], d["kc"], d["vc"], d["ks"], d["vs"],
+            row_src, jnp.int32(7))
+
+    called = {}
+    real = DA._indexed_onehot
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(DA, "_indexed_onehot", spy)
+    out = DA.indexed_decode_self_attention_int8(*args)
+    assert called.get("hit") is True
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(DA._indexed_reference(*args)),
+                               rtol=2e-5, atol=2e-5)
