@@ -16,7 +16,8 @@ def main() -> None:
     parser.add_argument("--kmeans_path", type=str, required=True,
                         help="kmeans centroids .npy (10k x 1280)")
     parser.add_argument("--w2v2_checkpoint", type=str, required=True,
-                        help="converted XLSR2-1B params (orbax/npz)")
+                        help="XLSR2-1B weights: original torch .pt "
+                             "(xlsr2_1b_v2.pt) or converted params (orbax/npz)")
     parser.add_argument("--out_layer_number", type=int, default=35)
     args = parser.parse_args()
 
@@ -29,7 +30,14 @@ def main() -> None:
 
     wav, sr = read_wav(args.audio)
     wav = resample(wav, sr, 16000)
-    params = load_params(args.w2v2_checkpoint)
+    if args.w2v2_checkpoint.endswith(".pt"):
+        from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+            load_pt_state_dict, wav2vec2_raw_tree_from_pt,
+        )
+        params = wav2vec2_raw_tree_from_pt(
+            load_pt_state_dict(args.w2v2_checkpoint))
+    else:
+        params = load_params(args.w2v2_checkpoint)
     extractor = UnitExtractor(params, KmeansModel.from_npy(args.kmeans_path),
                               out_layer_idx=args.out_layer_number - 1)
     units = extractor.predict(wav)
