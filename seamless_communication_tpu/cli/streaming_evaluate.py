@@ -31,6 +31,11 @@ def main() -> None:
     parser.add_argument("--min-starting-wait-w2vbert", type=int, default=192)
     parser.add_argument("--min-unit-chunk-size", type=int, default=50)
     parser.add_argument("--output", type=str, default="streaming_eval")
+    parser.add_argument("--expressive", action="store_true",
+                        help="expressive S2ST: synthesize through the gated "
+                             "PRETSSEL vocoder (prosody from the source "
+                             "audio) instead of the unit HiFi-GAN; use "
+                             "--vocoder-name vocoder_pretssel[_16khz]")
     parser.add_argument("--local-hf-path", type=str, default=None)
     parser.add_argument("--gated-model-dir", type=str, default=None,
                         help="dir with gated checkpoints (m2m_expressive_unity.pt, pretssel_melhifigan_wm*.pt); sets SEAMLESS_GATED_ASSETS")
@@ -71,6 +76,33 @@ def main() -> None:
         metrics = evaluate_streaming(factory, wavs, references=refs,
                                      tgt_lang=args.tgt_lang,
                                      segment_size_ms=args.source_segment_size)
+    elif args.expressive:
+        import numpy as np
+        from seamless_communication_tpu.cli.loading import load_pretssel_vocoder
+        from seamless_communication_tpu.streaming.pipeline import (
+            build_expressive_s2st_pipeline,
+        )
+        voc_name = (args.vocoder_name if "pretssel" in args.vocoder_name
+                    else "vocoder_pretssel")
+        voc_params, voc_cfg, mc, _sr = load_pretssel_vocoder(voc_name)
+        gcmvn_mean = np.asarray(
+            mc.get("gcmvn_stats", {}).get("mean", np.zeros(80)), np.float32)
+        gcmvn_std = np.asarray(
+            mc.get("gcmvn_stats", {}).get("std", np.ones(80)), np.float32)
+        langs = mc.get("langs", [])
+
+        def factory():
+            return build_expressive_s2st_pipeline(
+                unity_params, unity_cfg, mono_params, mono_cfg, text_tok,
+                unit_tok, char_tok, voc_params, voc_cfg,
+                {l: i for i, l in enumerate(langs)}, gcmvn_mean, gcmvn_std,
+                tgt_lang=args.tgt_lang,
+                min_starting_wait_w2vbert=args.min_starting_wait_w2vbert,
+                decision_threshold=args.decision_threshold,
+                min_unit_chunk_size=args.min_unit_chunk_size)
+        metrics = evaluate_streaming(factory, wavs, tgt_lang=args.tgt_lang,
+                                     segment_size_ms=args.source_segment_size,
+                                     output_is_speech=True)
     else:
         voc_params, voc_cfg, idx_map = load_vocoder(
             args.vocoder_name, local_hf_path=args.local_hf_path)
