@@ -223,13 +223,17 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
                                for _ in range(L))
             # identity row-origin table for LAZY beam reorder (see
             # DecoderCacheQ8.row_src) — the default for per-layer int8 decode
-            # since the vectorized one-hot formulation measured faster than
-            # the physical-gather Pallas kernel (docs/performance.md;
-            # SEAMLESS_LAZY_REORDER=0 restores the classic reorder).
+            # where the vectorized one-hot formulation applies (its (B,B,H,T)
+            # f32 logit intermediate under decode_attention's 64 MB cap —
+            # single-stream beams qualify, large batch x beam products fall
+            # back to the proven fused gather kernel by NOT carrying a table).
+            # SEAMLESS_LAZY_REORDER=0 restores the classic physical reorder;
             # decoder_cache_beam_reorder composes through the table if a
             # row_src-carrying cache is physically reordered (test-only path).
             row_src = None
-            if os.environ.get("SEAMLESS_LAZY_REORDER", "1") == "1":
+            onehot_fits = B * B * H * max_len * 4 <= 64 * 1024 * 1024
+            if os.environ.get("SEAMLESS_LAZY_REORDER",
+                              "1" if onehot_fits else "0") == "1":
                 row_src = jnp.broadcast_to(
                     jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
             return DecoderCacheQ8(
@@ -513,12 +517,15 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
     T = sk[0].shape[2]
     pos_is_step = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2) == step
     # Lazy (row-origin indexed) reorder is the DEFAULT for the per-layer int8
-    # beam decode: it eliminates the physical cache permutation + write-back +
-    # carry copies, reading each cache exactly once per step through the
-    # vectorized one-hot formulation (decode_attention._indexed_onehot). The
-    # earlier serial Pallas indexed kernel measured slower (0.89 vs 0.44
-    # ms/step attention); the one-hot einsum beat both (docs/performance.md).
-    # SEAMLESS_LAZY_REORDER=0 restores the classic physical reorder.
+    # beam decode where the one-hot intermediate fits (decoder_cache_init only
+    # materializes row_src then): it eliminates the physical cache permutation
+    # + write-back + carry copies, reading each cache exactly once per step
+    # through the vectorized one-hot formulation
+    # (decode_attention._indexed_onehot; exact — equality-tested against the
+    # physical gather). The earlier serial Pallas indexed kernel measured
+    # slower (0.89 vs 0.44 ms/step attention; docs/performance.md carries the
+    # current measurements). SEAMLESS_LAZY_REORDER=0 restores the classic
+    # physical reorder.
     lazy = (int8 and beam_src is not None
             and getattr(cache, "row_src", None) is not None
             and os.environ.get("SEAMLESS_LAZY_REORDER", "1") == "1")

@@ -108,6 +108,41 @@ def test_indexed_reference_matches_physical_gather(data):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_lazy_default_gated_by_onehot_cap(monkeypatch):
+    """decoder_cache_init materializes the lazy row_src table by default ONLY
+    when the one-hot formulation's (B,B,H,T) f32 intermediate fits its 64 MB
+    cap — single-stream beams qualify; batch x beam products past the cap
+    must keep the classic fused-gather path (no table)."""
+    import jax
+
+    from seamless_communication_tpu.ops.transformer import (
+        TransformerConfig, decoder_cache_init, transformer_stack_init,
+    )
+
+    monkeypatch.delenv("SEAMLESS_LAZY_REORDER", raising=False)
+    cfg = TransformerConfig(dim=64, num_layers=2, num_heads=16,
+                            ffn_inner_dim=128, vocab_size=100,
+                            max_seq_len=2048, has_cross_attention=True)
+    params = transformer_stack_init(jax.random.PRNGKey(0), cfg)
+    enc_small = jax.random.normal(jax.random.PRNGKey(1), (5, 4, 64))
+    c = decoder_cache_init(params, cfg, enc_small, 1024, kv_int8=True,
+                           per_layer=True)
+    assert c.row_src is not None          # 5*5*16*1024*4 = 1.6 MB: lazy on
+    enc_big = jax.random.normal(jax.random.PRNGKey(1), (48, 4, 64))
+    c = decoder_cache_init(params, cfg, enc_big, 1024, kv_int8=True,
+                           per_layer=True)
+    assert c.row_src is None              # 48*48*16*1024*4 = 151 MB: classic
+    # env override forces lazy regardless
+    monkeypatch.setenv("SEAMLESS_LAZY_REORDER", "1")
+    c = decoder_cache_init(params, cfg, enc_big, 1024, kv_int8=True,
+                           per_layer=True)
+    assert c.row_src is not None
+    monkeypatch.setenv("SEAMLESS_LAZY_REORDER", "0")
+    c = decoder_cache_init(params, cfg, enc_small, 1024, kv_int8=True,
+                           per_layer=True)
+    assert c.row_src is None
+
+
 @pytest.mark.parametrize("step", [0, 5, T - 1])
 def test_indexed_onehot_matches_indexed_reference(data, step):
     """Vectorized lazy-reorder formulation (the SEAMLESS_LAZY_KERNEL=onehot
