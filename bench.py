@@ -262,6 +262,46 @@ def main() -> None:
         extra["s2tt_batch8_rtf"] = round(s2tt_rtf, 5)
         extra["s2tt_batch8_audio_s_per_s"] = round(1.0 / s2tt_rtf, 1)
 
+    # opt-in medium-model ASR RTF (BASELINE.json config 1: seamlessM4T_medium
+    # ASR on a single 10 s clip): w2v-BERT 300m XL-attention encoder + NLLB
+    # dense_600m beam-5 decode at the same reference cap
+    if os.environ.get("BENCH_ASR"):
+        mcfg = get_arch(os.environ.get("BENCH_ASR_ARCH", "medium"))
+        mparams = unity.unity_init(jax.random.PRNGKey(7), mcfg, dtype=dtype)
+        if quantized:
+            from seamless_communication_tpu.ops.quantization import (
+                quantize_params,
+            )
+            mparams = quantize_params(mparams)
+
+        def asr(params, wav, prefix):
+            fbank = fbank_jax(wav, max_frames=MAX_FRAMES).astype(dtype)[None]
+            flens = jnp.array([MAX_FRAMES], jnp.int32)
+            enc = unity.encode_speech(params, mcfg, fbank, flens)
+            enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
+                                         jnp.repeat(enc.lengths, K, axis=0))
+            step_fn, cache_fn = unity.make_text_decode_step(params, mcfg,
+                                                            enc_bk)
+            opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
+                                     min_len=TEXT_MAX_LEN - 8, pad_idx=0,
+                                     unk_idx=1, eos_idx=3)
+            res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8),
+                              prefix, jnp.array([2], jnp.int32), opts,
+                              mcfg.nllb.vocab_size, src_to_step=True)
+            return res.tokens[:, 0]
+
+        asr_fn = jax.jit(asr)
+        _ = np.asarray(asr_fn(mparams, wav, prefix))
+        times_asr = []
+        for _ in range(3):
+            t0 = time.time()
+            _ = np.asarray(asr_fn(mparams, wav, prefix))
+            times_asr.append(time.time() - t0)
+        asr_rtf = float(np.median(times_asr)) / AUDIO_SECONDS
+        extra["asr_medium_rtf"] = round(asr_rtf, 5)
+        extra["asr_medium_p50_ms"] = round(float(np.median(times_asr)) * 1e3, 1)
+        del mparams
+
     # opt-in expressive-synthesis RTF (BASELINE.json config 4): PRETSSEL
     # 16 kHz production config, 640 units / ~12.8 s of speech
     if os.environ.get("BENCH_EXPRESSIVE"):
