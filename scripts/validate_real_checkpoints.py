@@ -149,6 +149,8 @@ class Ctx:
         from seamless_communication_tpu.assets import load_card
         from seamless_communication_tpu.text.nllb import NllbTokenizer
         from seamless_communication_tpu.text.spm import SentencePieceModel
+        if family != "v2":
+            family = "nllb100"   # v1/expressivity/streaming share one tokenizer
         key = f"text_tok_{family}"
         if key in self._cache:
             return self._cache[key]
@@ -171,7 +173,7 @@ class Ctx:
             return self._cache[key]
         from seamless_communication_tpu.assets import load_card
         from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
-            apply_unity_fixups, fairseq1_to_fairseq2, load_pt_state_dict,
+            apply_unity_fixups, fairseq1_to_fairseq2_auto, load_pt_state_dict,
             unity_tree_from_fairseq2, vocoder_tree_from_pt,
         )
         from seamless_communication_tpu.inference.translator import Translator
@@ -207,13 +209,10 @@ class Ctx:
             # fixups the reference applies on this path only (loader.py:116-176
             # — NLLB-100 dummy-row drop, control-symbol permutation, char
             # reorder to dictionary order, tied-embedding dedup)
-            sd = fairseq1_to_fairseq2(sd)
+            sd = fairseq1_to_fairseq2_auto(sd)
             char_pieces = (["<pad>"] + list(char_tok.spm.pieces)
                            if char_tok is not None else None)
-            sd = apply_unity_fixups(
-                sd,
-                is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103),
-                char_spm_pieces=char_pieces)
+            sd = apply_unity_fixups(sd, char_spm_pieces=char_pieces)
         params = unity_tree_from_fairseq2(sd, v2=(family == "v2"))
         params = jax.tree.map(
             lambda a: jax.numpy.asarray(a, self.dtype()), params)
@@ -381,8 +380,7 @@ def check_expressivity(ctx: Ctx):
     if any(".w2v_model." in k for k in sd):   # prefix is s2t_model.encoder...
         sd = fairseq1_to_fairseq2(sd, has_prosody=True)
         sd = apply_unity_fixups(
-            sd, is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103),
-            char_spm_pieces=["<pad>"] + list(char_tok.spm.pieces))
+            sd, char_spm_pieces=["<pad>"] + list(char_tok.spm.pieces))
     params = jax.tree.map(lambda a: jnp.asarray(a, ctx.dtype()),
                           unity_tree_from_fairseq2(sd, v2=True))
     assert "prosody_encoder" in params, "ECAPA prosody encoder missing"
@@ -427,7 +425,7 @@ def check_streaming(ctx: Ctx):
     import jax.numpy as jnp
     from seamless_communication_tpu.assets import load_card
     from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
-        apply_unity_fixups, fairseq1_to_fairseq2, load_pt_state_dict,
+        apply_unity_fixups, fairseq1_to_fairseq2_auto, load_pt_state_dict,
         monotonic_tree_from_pt, unity_tree_from_fairseq2,
     )
     from seamless_communication_tpu.models.monotonic.model import (
@@ -445,9 +443,8 @@ def check_streaming(ctx: Ctx):
     sd = load_pt_state_dict(u_p)
     if any(k.startswith("encoder.w2v_encoder") or ".w2v_model." in k
            for k in sd):
-        sd = fairseq1_to_fairseq2(sd)
-        sd = apply_unity_fixups(
-            sd, is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103))
+        sd = fairseq1_to_fairseq2_auto(sd)   # streaming: t2u, no text dec
+        sd = apply_unity_fixups(sd)          # no-op without final_proj
     params = jax.tree.map(lambda a: jnp.asarray(a, ctx.dtype()),
                           unity_tree_from_fairseq2(sd, v2=True))
     mono_params = jax.tree.map(

@@ -334,18 +334,32 @@ def fairseq1_to_fairseq2_auto(
     's2t_model.*' = expressive (prosody), 'target_letter_decoder.*' = UnitY
     with t2u, 'shared_decoder.*' = S2T-only with text encoder."""
     has_prosody = any(k.startswith("s2t_model.") for k in state_dict)
-    has_t2u = has_prosody or any(k.startswith("target_letter_decoder.")
-                                 for k in state_dict)
+    # synthesizer_encoder marks the t2u prefix set even when the checkpoint
+    # carries NO text decoder (seamless_streaming_unity: the reference loads
+    # it with use_text_decoder=False and t2u_config set, so its 'decoder.*'
+    # keys are the T2U decoder — unity_pipeline.py:113-121)
+    has_t2u = has_prosody or any(
+        k.startswith(("target_letter_decoder.", "synthesizer_encoder."))
+        for k in state_dict)
     has_text_encoder = any(k.startswith("text_encoder.") for k in state_dict)
     return fairseq1_to_fairseq2(state_dict, has_prosody=has_prosody,
                                 has_t2u=has_t2u,
                                 has_text_encoder=has_text_encoder)
 
 
-def apply_unity_fixups(sd: Dict[str, np.ndarray], *, is_nllb_100: bool,
+def apply_unity_fixups(sd: Dict[str, np.ndarray], *,
+                       is_nllb_100: Optional[bool] = None,
                        char_spm_pieces: Optional[Sequence[str]] = None,
                        has_text_encoder: bool = True) -> Dict[str, np.ndarray]:
-    """The correctness-critical embedding fixups (loader.py:116-155)."""
+    """The correctness-critical embedding fixups (loader.py:116-155).
+
+    ``is_nllb_100=None`` auto-detects from the 256103-row fairseq NLLB-100
+    table; every fixup is skipped for text-decoder-less checkpoints
+    (seamless_streaming_unity carries no final_proj — loader.py:115 guards
+    the same way)."""
+    if is_nllb_100 is None:
+        fp = sd.get("final_proj.weight")
+        is_nllb_100 = fp is not None and np.shape(fp)[0] == 256103
     if "final_proj.weight" in sd:
         embeds = np.asarray(sd["final_proj.weight"])
         if is_nllb_100 and embeds.shape[0] == 256103:
@@ -446,9 +460,13 @@ def unity_tree_from_fairseq2(sd: Mapping[str, np.ndarray], *, v2: bool = True) -
             "inner_layer_norm": _ln(sd, "speech_encoder.layer_norm"),
             "adaptor": adaptors,
         },
-        "text_decoder": _decoder_tree(sd, "text_decoder",
-                                      "text_decoder_frontend.embed"),
     }
+    # seamless_streaming_unity carries NO text decoder (the reference loads it
+    # with use_text_decoder=False; text decoding lives in the separate
+    # monotonic-decoder checkpoint — streaming/agents/unity_pipeline.py:113-121)
+    if "text_decoder.layer_norm.weight" in sd:
+        params["text_decoder"] = _decoder_tree(sd, "text_decoder",
+                                               "text_decoder_frontend.embed")
     if "text_encoder.layer_norm.weight" in sd:
         params["text_encoder"] = _encoder_tree(sd, "text_encoder",
                                                "text_encoder_frontend.embed")
@@ -602,8 +620,9 @@ def monotonic_fairseq1_to_fairseq2(
         (r"^decoder\.output_projection\.", "final_proj."),
     ]
     out: Dict[str, np.ndarray] = {}
+    compiled = [(re.compile(p), r) for p, r in rules]
     for key, val in state_dict.items():
-        for rx, repl in ((re.compile(p), r) for p, r in rules):
+        for rx, repl in compiled:
             if rx.match(key):
                 out[rx.sub(repl, key)] = np.asarray(val)
                 break

@@ -49,9 +49,7 @@ def _unity_params_from_pt(pt_path: str, card: dict,
         sd = fairseq1_to_fairseq2_auto(sd)
         char_pieces = (["<pad>"] + list(char_tok.spm.pieces)
                        if char_tok is not None else None)
-        sd = apply_unity_fixups(
-            sd, is_nllb_100=(sd["final_proj.weight"].shape[0] == 256103),
-            char_spm_pieces=char_pieces)
+        sd = apply_unity_fixups(sd, char_spm_pieces=char_pieces)
     tree = unity_tree_from_fairseq2(sd, v2="v2" in card["model_arch"])
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
 

@@ -84,7 +84,7 @@ def main() -> None:
         )
         voc_name = (args.vocoder_name if "pretssel" in args.vocoder_name
                     else "vocoder_pretssel")
-        voc_params, voc_cfg, mc, _sr = load_pretssel_vocoder(voc_name)
+        voc_params, voc_cfg, mc, voc_sr = load_pretssel_vocoder(voc_name)
         gcmvn_mean = np.asarray(
             mc.get("gcmvn_stats", {}).get("mean", np.zeros(80)), np.float32)
         gcmvn_std = np.asarray(
@@ -96,7 +96,7 @@ def main() -> None:
                 unity_params, unity_cfg, mono_params, mono_cfg, text_tok,
                 unit_tok, char_tok, voc_params, voc_cfg,
                 {l: i for i, l in enumerate(langs)}, gcmvn_mean, gcmvn_std,
-                tgt_lang=args.tgt_lang,
+                sample_rate=voc_sr, tgt_lang=args.tgt_lang,
                 min_starting_wait_w2vbert=args.min_starting_wait_w2vbert,
                 decision_threshold=args.decision_threshold,
                 min_unit_chunk_size=args.min_unit_chunk_size)

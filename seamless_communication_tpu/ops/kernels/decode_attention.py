@@ -383,6 +383,14 @@ def _indexed_pallas_call(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
     )(step_arr, q, k_t, v_t, k_cache, v_cache, k_scale, v_scale, row_src)[0]
 
 
+def onehot_fits(B: int, H: int, T: int) -> bool:
+    """Whether the one-hot lazy formulation's (B,B,H,T) f32 logit intermediate
+    is small enough to prefer over the gather paths. Shared by the dispatch
+    below and decoder_cache_init's row_src-materialization default so the two
+    policies cannot diverge."""
+    return B * B * H * T * 4 <= 64 * 1024 * 1024
+
+
 def indexed_decode_self_attention_int8(q, k_t, v_t, k_cache, v_cache,
                                        k_scale, v_scale, row_src, step, *,
                                        use_pallas: bool | None = None,
@@ -409,8 +417,7 @@ def indexed_decode_self_attention_int8(q, k_t, v_t, k_cache, v_cache,
         kind = "pallas" if use_pallas else "gather"
     if kind == "onehot":
         B, H, T, _ = k_cache.shape
-        # (B,B,H,T) f32 logit intermediate; cap it at ~64 MB
-        if B * B * H * T * 4 <= 64 * 1024 * 1024:
+        if onehot_fits(B, H, T):
             return _indexed_onehot(q, k_t, v_t, k_cache, v_cache,
                                    k_scale, v_scale, row_src, step)
         kind = "gather"

@@ -230,10 +230,14 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
             # SEAMLESS_LAZY_REORDER=0 restores the classic physical reorder;
             # decoder_cache_beam_reorder composes through the table if a
             # row_src-carrying cache is physically reordered (test-only path).
+            from seamless_communication_tpu.ops.kernels.decode_attention import (
+                onehot_fits,
+            )
+
             row_src = None
-            onehot_fits = B * B * H * max_len * 4 <= 64 * 1024 * 1024
             if os.environ.get("SEAMLESS_LAZY_REORDER",
-                              "1" if onehot_fits else "0") == "1":
+                              "1" if onehot_fits(B, H, max_len)
+                              else "0") == "1":
                 row_src = jnp.broadcast_to(
                     jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
             return DecoderCacheQ8(

@@ -115,9 +115,13 @@ def evaluate_streaming(pipeline_factory: Callable, waveforms: List[np.ndarray], 
                 if n > 0:
                     if inst.first_wav_offset_ms is None:
                         inst.first_wav_offset_ms = elapsed_ms
+                    # output duration must use the OUTPUT sample rate (the
+                    # vocoder's — 24 kHz for the default PRETSSEL), not the
+                    # 16 kHz source rate
+                    out_sr = getattr(seg, "sample_rate", None) or sample_rate
                     inst.wav_samples += n
                     inst.last_wav_end_ms = (elapsed_ms
-                                            + inst.wav_samples / sample_rate * 1000.0)
+                                            + inst.wav_samples / out_sr * 1000.0)
         instances.append(inst)
 
     metrics: dict = {}

@@ -185,6 +185,7 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                                    char_tokenizer: CharTokenizer,
                                    pretssel_params: dict, pretssel_cfg,
                                    lang_to_index: dict, gcmvn_mean, gcmvn_std, *,
+                                   sample_rate: int = 16000,
                                    tgt_lang: str = "eng",
                                    min_starting_wait_w2vbert: int = 192,
                                    decision_threshold: float = 0.5,
@@ -237,6 +238,7 @@ def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
         PretsselVocoderAgent(pretssel_params, pretssel_cfg,
                              lang_to_index=lang_to_index, gcmvn_mean=gcmvn_mean,
                              gcmvn_std=gcmvn_std, tgt_lang=tgt_lang,
+                             sample_rate=sample_rate,
                              upstream_audio_getter=upstream_getter),
     ]
     return AgentPipeline(agents)

@@ -22,6 +22,49 @@ from seamless_communication_tpu.text.spm import (
 from tests.unit.test_fairseq2_convert import export_unity
 
 
+def test_fairseq1_auto_streaming_family():
+    """seamless_streaming_unity has a T2U stack but NO text decoder (the
+    reference loads it with use_text_decoder=False — unity_pipeline.py:113-121),
+    so its fairseq1 'decoder.*' keys are the T2U decoder and must NOT be
+    remapped as a text decoder."""
+    z = np.zeros((4, 2), np.float32)
+    sd = {
+        "encoder.w2v_encoder.w2v_model.layer_norm.weight": z,
+        "synthesizer_encoder.layer_norm.weight": z,
+        "decoder.layers.0.ffn.ffn.0.weight": z,        # NAR conv1d block
+        "decoder.output_projection.weight": z,
+        "decoder.embed_tokens.weight": z,
+    }
+    out = fairseq1_to_fairseq2_auto(sd)
+    assert "t2u_model.encoder.layer_norm.weight" in out
+    assert "t2u_model.decoder.layers.0.conv1d.conv1.weight" in out
+    assert "t2u_model.final_proj.weight" in out
+    assert not any(k.startswith(("text_decoder", "final_proj")) for k in out)
+    # fixups are a no-op without a text decoder's final_proj (reference
+    # loader.py:115 guards the same way)
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        apply_unity_fixups,
+    )
+    fixed = apply_unity_fixups(dict(out))
+    assert set(fixed) == set(out)
+
+
+def test_unity_tree_without_text_decoder():
+    """A streaming-style fairseq2 key space (no text decoder) must build a
+    tree without 'text_decoder' instead of crashing."""
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(1), cfg)
+    sd = export_unity(params)
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith(("text_decoder", "text_encoder", "final_proj"))}
+    from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
+        unity_tree_from_fairseq2,
+    )
+    tree = unity_tree_from_fairseq2(sd, v2=True)
+    assert "text_decoder" not in tree and "speech_encoder" in tree
+    assert "t2u" in tree
+
+
 def test_fairseq1_auto_flag_detection():
     z = np.zeros((4, 2), np.float32)
     w2v = "w2v_encoder.w2v_model.layer_norm.weight"
