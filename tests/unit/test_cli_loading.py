@@ -130,6 +130,32 @@ def test_load_unity_model_from_pt(tiny_card_dir):
     assert text_tok.lang_to_id["__fra__"] > 0
 
 
+def test_load_monotonic_decoder_from_pt(tmp_path, monkeypatch):
+    """load_monotonic_decoder converts an original torch .pt named by the
+    card (here a synthetic fairseq2-keyed one)."""
+    from seamless_communication_tpu.cli.loading import load_monotonic_decoder
+    from seamless_communication_tpu.models.monotonic.model import (
+        MonotonicDecoderConfig, monotonic_decoder_init,
+    )
+    from tests.unit.test_fairseq2_convert import export_monotonic
+
+    cfg = MonotonicDecoderConfig(
+        model_dim=64, num_layers=2, num_heads=4, ffn_inner_dim=128,
+        vocab_size=256, num_monotonic_energy_layers=2, pre_decision_ratio=2)
+    params = monotonic_decoder_init(jax.random.PRNGKey(2), cfg)
+    pt = tmp_path / "mono.pt"
+    torch.save({"model": export_monotonic(params)}, pt)
+    (tmp_path / "tiny_mono_test.yaml").write_text(
+        "name: tiny_mono_test\nmodel_type: monotonic_decoder\n"
+        f"model_arch: dense_1b\ncheckpoint: {pt}\n")
+    monkeypatch.setenv("SEAMLESS_CARDS_DIR", str(tmp_path))
+    got, _cfg = load_monotonic_decoder("tiny_mono_test", dtype=np.float32)
+    ok = jax.tree.all(jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a, np.float32), np.asarray(b)),
+        params, got))
+    assert ok
+
+
 def test_gated_dir_reference_layout(tmp_path, monkeypatch):
     """SEAMLESS_GATED_ASSETS with the reference's file names rewrites the
     gated cards' checkpoints (store.py:17-30 layout, plus <card>.pt)."""
