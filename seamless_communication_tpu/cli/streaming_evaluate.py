@@ -31,6 +31,12 @@ def main() -> None:
     parser.add_argument("--min-starting-wait-w2vbert", type=int, default=192)
     parser.add_argument("--min-unit-chunk-size", type=int, default=50)
     parser.add_argument("--output", type=str, default="streaming_eval")
+    parser.add_argument("--compute-asr-bleu", action="store_true",
+                        help="transcribe the emitted speech with a separately "
+                             "loaded M4T ASR model and report ASR-BLEU vs "
+                             "tgt_text (reference seamless_quality_scorer)")
+    parser.add_argument("--asr-model-name", type=str,
+                        default="seamlessM4T_v2_large")
     parser.add_argument("--expressive", action="store_true",
                         help="expressive S2ST: synthesize through the gated "
                              "PRETSSEL vocoder (prosody from the source "
@@ -66,6 +72,23 @@ def main() -> None:
             wavs.append(resample(w, sr, 16000))
             refs.append(row.get("tgt_text", ""))
 
+
+    transcribe = None
+    if args.compute_asr_bleu and args.task == "s2st":
+        # the streaming UnitY checkpoint has no text decoder; the quality
+        # scorer loads a full M4T model for ASR (reference
+        # seamless_quality_scorer.py:24-136)
+        asr_params, asr_cfg, asr_text_tok, asr_unit_tok, asr_char_tok = \
+            load_unity_model_and_tokenizers(args.asr_model_name,
+                                            local_hf_path=args.local_hf_path)
+        from seamless_communication_tpu.inference.translator import Translator
+        asr_translator = Translator(asr_params, asr_cfg, asr_text_tok,
+                                    asr_unit_tok, asr_char_tok)
+
+        def transcribe(batch):
+            texts, _ = asr_translator.predict(batch, "asr", args.tgt_lang)
+            return [str(t) for t in texts]
+
     if args.task in ("s2tt", "asr"):
         def factory():
             return build_s2t_pipeline(
@@ -100,9 +123,11 @@ def main() -> None:
                 min_starting_wait_w2vbert=args.min_starting_wait_w2vbert,
                 decision_threshold=args.decision_threshold,
                 min_unit_chunk_size=args.min_unit_chunk_size)
-        metrics = evaluate_streaming(factory, wavs, tgt_lang=args.tgt_lang,
+        metrics = evaluate_streaming(factory, wavs, references=refs,
+                                     tgt_lang=args.tgt_lang,
                                      segment_size_ms=args.source_segment_size,
-                                     output_is_speech=True)
+                                     output_is_speech=True,
+                                     transcribe=transcribe)
     else:
         voc_params, voc_cfg, idx_map = load_vocoder(
             args.vocoder_name, local_hf_path=args.local_hf_path)
@@ -115,9 +140,11 @@ def main() -> None:
                 min_starting_wait_w2vbert=args.min_starting_wait_w2vbert,
                 decision_threshold=args.decision_threshold,
                 min_unit_chunk_size=args.min_unit_chunk_size)
-        metrics = evaluate_streaming(factory, wavs, tgt_lang=args.tgt_lang,
+        metrics = evaluate_streaming(factory, wavs, references=refs,
+                                     tgt_lang=args.tgt_lang,
                                      segment_size_ms=args.source_segment_size,
-                                     output_is_speech=True)
+                                     output_is_speech=True,
+                                     transcribe=transcribe)
 
     Path(args.output).mkdir(parents=True, exist_ok=True)
     with open(Path(args.output) / "metrics.json", "w") as f:

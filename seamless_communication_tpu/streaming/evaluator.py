@@ -29,6 +29,8 @@ class StreamingInstance:
     first_wav_offset_ms: Optional[float] = None
     last_wav_end_ms: Optional[float] = None
     wav_samples: int = 0
+    wav_chunks: List[np.ndarray] = field(default_factory=list)
+    wav_sample_rate: int = 16000
 
 
 def average_lagging(delays_ms: List[float], source_ms: float, target_len: int, *,
@@ -85,10 +87,15 @@ def evaluate_streaming(pipeline_factory: Callable, waveforms: List[np.ndarray], 
                        references: Optional[List[str]] = None,
                        tgt_lang: str = "eng", segment_size_ms: int = 320,
                        sample_rate: int = 16000,
-                       output_is_speech: bool = False) -> dict:
+                       output_is_speech: bool = False,
+                       transcribe: Optional[Callable] = None) -> dict:
     """Run the pipeline over a dataset of waveforms and compute metrics.
 
     ``pipeline_factory()`` must return a fresh AgentPipeline per utterance.
+    ``transcribe`` (wavs -> texts; e.g. Translator ASR or a whisper wrapper)
+    adds ASR-BLEU for speech output when ``references`` are given — the
+    reference's SimulEval quality scorer
+    (cli/streaming/scorers/seamless_quality_scorer.py:24-136).
     """
     from seamless_communication_tpu.streaming.pipeline import StreamingSession
     from seamless_communication_tpu.streaming.agents.common import (
@@ -122,11 +129,27 @@ def evaluate_streaming(pipeline_factory: Callable, waveforms: List[np.ndarray], 
                     inst.wav_samples += n
                     inst.last_wav_end_ms = (elapsed_ms
                                             + inst.wav_samples / out_sr * 1000.0)
+                    inst.wav_sample_rate = out_sr
+                    if transcribe is not None:
+                        inst.wav_chunks.append(
+                            np.asarray(seg.content, np.float32).reshape(-1))
         instances.append(inst)
 
     metrics: dict = {}
     if output_is_speech:
         metrics.update(score_streaming_speech(instances))
+        if transcribe is not None and references is not None:
+            from seamless_communication_tpu.cli.eval_utils import (
+                compute_asr_bleu,
+            )
+            wavs = [np.concatenate(i.wav_chunks) if i.wav_chunks
+                    else np.zeros(160, np.float32) for i in instances]
+            if instances and instances[0].wav_sample_rate != 16000:
+                from seamless_communication_tpu.audio.wav import resample
+                wavs = [resample(w, instances[0].wav_sample_rate, 16000)
+                        for w in wavs]
+            metrics["asr_bleu"] = compute_asr_bleu(
+                wavs, references, transcribe=transcribe, lang=tgt_lang)
     if not output_is_speech:
         metrics.update(score_streaming_text(instances, references))
     metrics["num_instances"] = len(instances)
