@@ -102,10 +102,25 @@ def main() -> None:
         remat=args.remat,
         pp_microbatches=args.pp_microbatches if pp > 1 else 0)
 
+    # AR-T2U S2S trains on manifest target.units (m4t_prepare_dataset
+    # --extract_units); NAR S2S needs aligner-derived char/duration targets
+    # that plain manifests don't carry — the trainer accepts such batches
+    # directly (tests/integration/test_finetune.py), but this CLI can't
+    # synthesize them from a manifest.
+    load_units = (ft.finetune_mode == FinetuneMode.SPEECH_TO_SPEECH
+                  and cfg.ar_t2u is not None)
+    if ft.finetune_mode == FinetuneMode.SPEECH_TO_SPEECH and not load_units:
+        parser.error(
+            "SPEECH_TO_SPEECH manifest finetuning is supported for AR-T2U "
+            "archs (v1); NAR-T2U (v2) S2S needs aligner-derived char/duration "
+            "targets — feed trainer batches directly (see "
+            "tests/integration/test_finetune.py::_s2s_nar_batch)")
     train_data = manifest_batches(args.train_dataset, text_tok,
-                                  batch_size=args.batch_size)
+                                  batch_size=args.batch_size,
+                                  load_units=load_units)
     eval_data = (manifest_batches(args.eval_dataset, text_tok,
-                                  batch_size=args.batch_size)
+                                  batch_size=args.batch_size,
+                                  load_units=load_units)
                  if args.eval_dataset else None)
     trainer = UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=train_data,
                             eval_data=eval_data)

@@ -45,23 +45,34 @@ class _Reiterable:
 
 def manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                      batch_size: int = 8, max_frames: int = 1024,
-                     max_tokens: int = 128):
+                     max_tokens: int = 128, load_units: bool = False,
+                     max_units: int = 512):
     """Finetune batches: fbank, fbank_lens, prev_tokens, target_tokens,
-    target_lens (teacher-forced shift). Re-iterable across epochs."""
+    target_lens (teacher-forced shift). Re-iterable across epochs.
+
+    ``load_units=True`` (AR-T2U SPEECH_TO_SPEECH finetuning) additionally
+    emits prev_units/target_units/unit_lens from each entry's
+    ``target.units`` raw unit ids (+4 control offset, bos/eos framing — unit
+    vocab bos=0, pad=1, eos=2, unk=3). NAR S2S needs aligner-derived
+    char/duration targets, which plain manifests don't carry."""
     return _Reiterable(lambda: _manifest_batches(
         path, text_tokenizer, batch_size=batch_size, max_frames=max_frames,
-        max_tokens=max_tokens))
+        max_tokens=max_tokens, load_units=load_units, max_units=max_units))
+
+
+UNIT_BOS, UNIT_PAD, UNIT_EOS, UNIT_OFFSET = 0, 1, 2, 4
 
 
 def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                       batch_size: int = 8, max_frames: int = 1024,
-                      max_tokens: int = 128) -> Iterator[dict]:
+                      max_tokens: int = 128, load_units: bool = False,
+                      max_units: int = 512) -> Iterator[dict]:
     import jax.numpy as jnp
 
     items = read_manifest(path)
     for i in range(0, len(items), batch_size):
         chunk = items[i:i + batch_size]
-        feats, flens, tgt_ids = [], [], []
+        feats, flens, tgt_ids, unit_ids = [], [], [], []
         for it in chunk:
             src = it["source"]
             if "audio_local_path" in src:
@@ -76,6 +87,15 @@ def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
             tgt = it["target"]
             ids = text_tokenizer.encode_target(tgt["text"], tgt["lang"])
             tgt_ids.append(ids[:max_tokens])
+            if load_units:
+                raw = tgt.get("units")
+                if raw is None:
+                    raise ValueError(
+                        "SPEECH_TO_SPEECH finetuning needs target.units in "
+                        "the manifest (m4t_prepare_dataset --extract_units)")
+                unit_ids.append([UNIT_BOS]
+                                + [int(u) + UNIT_OFFSET for u in raw[:max_units]]
+                                + [UNIT_EOS])
 
         B = len(chunk)
         T = _bucket(max(flens), 128)
@@ -91,6 +111,21 @@ def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
             pv[b, :len(ids) - 1] = ids[:-1]
             tg[b, :len(ids) - 1] = ids[1:]
             tl[b] = len(ids) - 1
-        yield {"fbank": jnp.asarray(fb), "fbank_lens": jnp.asarray(flens, jnp.int32),
-               "prev_tokens": jnp.asarray(pv), "target_tokens": jnp.asarray(tg),
-               "target_lens": jnp.asarray(tl)}
+        batch = {"fbank": jnp.asarray(fb),
+                 "fbank_lens": jnp.asarray(flens, jnp.int32),
+                 "prev_tokens": jnp.asarray(pv), "target_tokens": jnp.asarray(tg),
+                 "target_lens": jnp.asarray(tl)}
+        if load_units:
+            U = _bucket(max(len(u) for u in unit_ids) - 1, 32)
+            pu = np.full((B, U), UNIT_PAD, np.int32)
+            tu = np.full((B, U), UNIT_PAD, np.int32)
+            ul = np.zeros((B,), np.int32)
+            for b, ids in enumerate(unit_ids):
+                n = len(ids) - 1
+                pu[b, :n] = ids[:-1]
+                tu[b, :n] = ids[1:]
+                ul[b] = n
+            batch.update(prev_units=jnp.asarray(pu),
+                         target_units=jnp.asarray(tu),
+                         unit_lens=jnp.asarray(ul))
+        yield batch
