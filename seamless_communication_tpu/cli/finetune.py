@@ -102,25 +102,25 @@ def main() -> None:
         remat=args.remat,
         pp_microbatches=args.pp_microbatches if pp > 1 else 0)
 
-    # AR-T2U S2S trains on manifest target.units (m4t_prepare_dataset
-    # --extract_units); NAR S2S needs aligner-derived char/duration targets
-    # that plain manifests don't carry — the trainer accepts such batches
-    # directly (tests/integration/test_finetune.py), but this CLI can't
-    # synthesize them from a manifest.
-    load_units = (ft.finetune_mode == FinetuneMode.SPEECH_TO_SPEECH
-                  and cfg.ar_t2u is not None)
-    if ft.finetune_mode == FinetuneMode.SPEECH_TO_SPEECH and not load_units:
-        parser.error(
-            "SPEECH_TO_SPEECH manifest finetuning is supported for AR-T2U "
-            "archs (v1); NAR-T2U (v2) S2S needs aligner-derived char/duration "
-            "targets — feed trainer batches directly (see "
-            "tests/integration/test_finetune.py::_s2s_nar_batch)")
+    # S2S manifests: AR-T2U archs (v1) train on target.units
+    # (m4t_prepare_dataset --extract_units); NAR-T2U archs (v2) additionally
+    # need the aligner-derived target.char_durations (--aligner_pt) and the
+    # card's char tokenizer for the host char frontend.
+    load_units = ft.finetune_mode == FinetuneMode.SPEECH_TO_SPEECH
+    nar_char_tok = None
+    if load_units and cfg.ar_t2u is None:
+        if char_tok is None:
+            parser.error("NAR-T2U S2S finetuning needs the card's "
+                         "char_tokenizer (spm_char_lang38_tc.model)")
+        nar_char_tok = char_tok
     train_data = manifest_batches(args.train_dataset, text_tok,
                                   batch_size=args.batch_size,
-                                  load_units=load_units)
+                                  load_units=load_units,
+                                  char_tokenizer=nar_char_tok)
     eval_data = (manifest_batches(args.eval_dataset, text_tok,
                                   batch_size=args.batch_size,
-                                  load_units=load_units)
+                                  load_units=load_units,
+                                  char_tokenizer=nar_char_tok)
                  if args.eval_dataset else None)
     trainer = UnitYFinetune(params, cfg, ft, mesh=mesh, train_data=train_data,
                             eval_data=eval_data)

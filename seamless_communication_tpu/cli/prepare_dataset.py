@@ -34,6 +34,12 @@ def main() -> None:
                              "needs --w2v2_checkpoint and --kmeans_path)")
     parser.add_argument("--w2v2_checkpoint", type=str, default=None)
     parser.add_argument("--kmeans_path", type=str, default=None)
+    parser.add_argument("--aligner_pt", type=str, default=None,
+                        help="UnitY2 aligner .pt: also write per-char unit "
+                             "durations (NAR-T2U S2S training targets); "
+                             "needs --char_spm and --extract_units")
+    parser.add_argument("--char_spm", type=str, default=None,
+                        help="spm_char_lang38_tc.model for the aligner")
     args = parser.parse_args()
 
     from seamless_communication_tpu.datasets.huggingface import (
@@ -63,9 +69,24 @@ def main() -> None:
                     else load_params(args.w2v2_checkpoint))
             unit_extractor = UnitExtractor(
                 w2v2, KmeansModel.from_npy(args.kmeans_path))
+        aligner = None
+        if args.aligner_pt:
+            if not (args.char_spm and unit_extractor):
+                parser.error("--aligner_pt needs --char_spm and "
+                             "--extract_units")
+            from seamless_communication_tpu.models.aligner.extractor import (
+                AlignmentExtractor,
+            )
+            from seamless_communication_tpu.text.char_tokenizer import (
+                CharTokenizer,
+            )
+            aligner = AlignmentExtractor(
+                args.aligner_pt,
+                char_tokenizer=CharTokenizer.from_file(args.char_spm))
         samples = build_fleurs_s2s(args.source_lang, args.target_lang,
                                    args.split, args.save_dir,
                                    unit_extractor=unit_extractor,
+                                   aligner=aligner,
                                    max_samples=args.max_samples)
     else:
         if args.huggingface_token is None:

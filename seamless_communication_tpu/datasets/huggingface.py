@@ -29,6 +29,9 @@ class LangPairSample:
     target_lang: str
     target_text: str
     target_units: Optional[List[int]] = None
+    # per-char unit durations over the target text's char tokens (UnitY2
+    # aligner output) — the NAR-T2U S2S training target
+    char_durations: Optional[List[int]] = None
 
     def to_manifest(self) -> dict:
         entry = {
@@ -38,6 +41,8 @@ class LangPairSample:
         }
         if self.target_units is not None:
             entry["target"]["units"] = self.target_units
+        if self.char_durations is not None:
+            entry["target"]["char_durations"] = self.char_durations
         return entry
 
 
@@ -52,7 +57,8 @@ def write_manifest(samples: Iterable[LangPairSample], path: str) -> int:
 
 
 def build_fleurs_s2s(source_lang: str, target_lang: str, split: str, out_dir: str, *,
-                     unit_extractor=None, max_samples: Optional[int] = None
+                     unit_extractor=None, aligner=None,
+                     max_samples: Optional[int] = None
                      ) -> List[LangPairSample]:
     """Pair FLEURS utterances across languages by sample id; optionally extract
     target speech units for S2ST finetuning (reference huggingface.py:22-180)."""
@@ -83,11 +89,21 @@ def build_fleurs_s2s(source_lang: str, target_lang: str, split: str, out_dir: st
         if unit_extractor is not None:
             units = unit_extractor.predict(
                 np.asarray(pair["audio"]["array"], np.float32))[0]
+        durations = None
+        if aligner is not None:
+            if units is None:
+                units = aligner.extract_units(aligner.prepare_audio(
+                    np.asarray(pair["audio"]["array"], np.float32)))
+            # per-char durations over the target text's char tokens — the
+            # NAR-T2U duration-predictor target (UnitY2 aligner MAS)
+            durs, _ = aligner.extract_alignment([int(u) for u in units],
+                                                pair["transcription"])
+            durations = [int(d) for d in np.asarray(durs).reshape(-1)]
         samples.append(LangPairSample(
             source_audio=str(spath), source_lang=source_lang,
             source_text=ex["transcription"], target_audio=str(tpath),
             target_lang=target_lang, target_text=pair["transcription"],
-            target_units=units))
+            target_units=units, char_durations=durations))
     return samples
 
 

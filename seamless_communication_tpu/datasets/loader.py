@@ -46,18 +46,24 @@ class _Reiterable:
 def manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                      batch_size: int = 8, max_frames: int = 1024,
                      max_tokens: int = 128, load_units: bool = False,
-                     max_units: int = 512):
+                     max_units: int = 512, char_tokenizer=None):
     """Finetune batches: fbank, fbank_lens, prev_tokens, target_tokens,
     target_lens (teacher-forced shift). Re-iterable across epochs.
 
     ``load_units=True`` (AR-T2U SPEECH_TO_SPEECH finetuning) additionally
     emits prev_units/target_units/unit_lens from each entry's
     ``target.units`` raw unit ids (+4 control offset, bos/eos framing — unit
-    vocab bos=0, pad=1, eos=2, unk=3). NAR S2S needs aligner-derived
-    char/duration targets, which plain manifests don't carry."""
+    vocab bos=0, pad=1, eos=2, unk=3).
+
+    ``load_units=True, char_tokenizer=...`` (NAR-T2U S2S) instead emits
+    char_ids/char_counts (host char frontend over the tokenized target text),
+    target_durations (the manifest's aligner-derived ``target.char_durations``,
+    m4t_prepare_dataset --aligner_pt) and the duration-expanded
+    ``target_units`` (+4 offset, pad=1, no bos/eos framing)."""
     return _Reiterable(lambda: _manifest_batches(
         path, text_tokenizer, batch_size=batch_size, max_frames=max_frames,
-        max_tokens=max_tokens, load_units=load_units, max_units=max_units))
+        max_tokens=max_tokens, load_units=load_units, max_units=max_units,
+        char_tokenizer=char_tokenizer))
 
 
 UNIT_BOS, UNIT_PAD, UNIT_EOS, UNIT_OFFSET = 0, 1, 2, 4
@@ -66,13 +72,16 @@ UNIT_BOS, UNIT_PAD, UNIT_EOS, UNIT_OFFSET = 0, 1, 2, 4
 def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                       batch_size: int = 8, max_frames: int = 1024,
                       max_tokens: int = 128, load_units: bool = False,
-                      max_units: int = 512) -> Iterator[dict]:
+                      max_units: int = 512, char_tokenizer=None
+                      ) -> Iterator[dict]:
     import jax.numpy as jnp
 
+    nar = load_units and char_tokenizer is not None
     items = read_manifest(path)
     for i in range(0, len(items), batch_size):
         chunk = items[i:i + batch_size]
         feats, flens, tgt_ids, unit_ids = [], [], [], []
+        raw_units, durations = [], []
         for it in chunk:
             src = it["source"]
             if "audio_local_path" in src:
@@ -93,9 +102,19 @@ def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                     raise ValueError(
                         "SPEECH_TO_SPEECH finetuning needs target.units in "
                         "the manifest (m4t_prepare_dataset --extract_units)")
-                unit_ids.append([UNIT_BOS]
-                                + [int(u) + UNIT_OFFSET for u in raw[:max_units]]
-                                + [UNIT_EOS])
+                if nar:
+                    durs = tgt.get("char_durations")
+                    if durs is None:
+                        raise ValueError(
+                            "NAR S2S finetuning needs target.char_durations "
+                            "(m4t_prepare_dataset --aligner_pt)")
+                    raw_units.append([int(u) for u in raw[:max_units]])
+                    durations.append([int(d) for d in durs])
+                else:
+                    unit_ids.append(
+                        [UNIT_BOS]
+                        + [int(u) + UNIT_OFFSET for u in raw[:max_units]]
+                        + [UNIT_EOS])
 
         B = len(chunk)
         T = _bucket(max(flens), 128)
@@ -115,7 +134,7 @@ def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                  "fbank_lens": jnp.asarray(flens, jnp.int32),
                  "prev_tokens": jnp.asarray(pv), "target_tokens": jnp.asarray(tg),
                  "target_lens": jnp.asarray(tl)}
-        if load_units:
+        if load_units and not nar:
             U = _bucket(max(len(u) for u in unit_ids) - 1, 32)
             pu = np.full((B, U), UNIT_PAD, np.int32)
             tu = np.full((B, U), UNIT_PAD, np.int32)
@@ -128,4 +147,32 @@ def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
             batch.update(prev_units=jnp.asarray(pu),
                          target_units=jnp.asarray(tu),
                          unit_lens=jnp.asarray(ul))
+        elif nar:
+            from seamless_communication_tpu.text.char_frontend import (
+                text_to_char_seqs,
+            )
+            # char frontend over the PREV positions ([eos, lang, toks...]) —
+            # char_counts aligns position-for-position with prev_tokens, the
+            # positions whose decoder features the NAR T2U upsamples
+            C = _bucket(max(len(d) for d in durations), 64)
+            char_ids, char_lens, char_counts = text_to_char_seqs(
+                text_tokenizer, char_tokenizer, pv, max_char_len=C)
+            td = np.zeros((B, C), np.int32)
+            for b, durs in enumerate(durations):
+                if len(durs) != int(char_lens[b]):
+                    raise ValueError(
+                        f"char_durations length {len(durs)} != the char "
+                        f"frontend's {int(char_lens[b])} chars for row {b} — "
+                        "manifest prepared with a different char tokenizer, "
+                        "or max_tokens truncated the text")
+                td[b, :len(durs)] = durs
+            U = _bucket(max(sum(d) for d in durations), 32)
+            tu = np.full((B, U), UNIT_PAD, np.int32)
+            for b, units in enumerate(raw_units):
+                n = min(len(units), sum(durations[b]), U)
+                tu[b, :n] = np.asarray(units[:n], np.int32) + UNIT_OFFSET
+            batch.update(char_ids=jnp.asarray(char_ids),
+                         char_counts=jnp.asarray(char_counts),
+                         target_durations=jnp.asarray(td),
+                         target_units=jnp.asarray(tu))
         yield batch
