@@ -42,21 +42,14 @@ def main() -> None:
         transcribe_batch = make_whisper_transcriber(
             args.model_name.split("_", 1)[1], lang=args.lang)
     else:
-        from seamless_communication_tpu.cli.loading import (
-            load_unity_model_and_tokenizers,
+        from seamless_communication_tpu.cli.eval_utils import (
+            make_m4t_transcriber,
         )
-        from seamless_communication_tpu.inference.translator import Translator
+        transcribe_batch = make_m4t_transcriber(
+            args.model_name, lang=args.lang,
+            local_hf_path=args.local_hf_path, batch_size=args.batch_size)
 
-        params, cfg, text_tok, unit_tok, char_tok = \
-            load_unity_model_and_tokenizers(args.model_name,
-                                            local_hf_path=args.local_hf_path)
-        translator = Translator(params, cfg, text_tok, unit_tok, char_tok)
-
-        def transcribe_batch(wavs):
-            texts, _ = translator.predict(wavs, "asr", args.lang)
-            return [str(t) for t in texts]
-
-    checker = _load_checker(args.etox_dataset, None)
+    checker = _load_checker(args.etox_dataset, None, lang=args.lang)
 
     with open(args.data_file) as f:
         rows = list(csv.DictReader(f, delimiter="\t"))

@@ -7,13 +7,20 @@ import argparse
 import sys
 
 
-def _load_checker(dataset: str | None, sp_model: str | None):
+def _load_checker(dataset: str | None, sp_model: str | None,
+                  lang: str | None = None):
     from seamless_communication_tpu.assets import load_card, resolve_asset
-    from seamless_communication_tpu.toxicity.etox import load_etox_checker
+    from seamless_communication_tpu.toxicity.etox import (
+        SP_LANGS, load_etox_checker,
+    )
 
     card = load_card("mintox")
     dataset = dataset or card["etox_dataset"]
     sp_model = sp_model or card.get("sp_model")
+    # only the SP_LANGS set ever consults the SP model — don't force a
+    # (possibly remote) resolution for languages that match on word boundaries
+    if lang is not None and lang not in SP_LANGS:
+        sp_model = None
     sp_path = resolve_asset(sp_model) if sp_model else None
     return load_etox_checker(resolve_asset(dataset), sp_model_path=sp_path)
 
@@ -34,7 +41,7 @@ def main() -> None:
     parser.add_argument("--sp_model", type=str, default=None)
     args, _unknown = parser.parse_known_args()
 
-    checker = _load_checker(args.etox_dataset, args.sp_model)
+    checker = _load_checker(args.etox_dataset, args.sp_model, lang=args.lang)
 
     print("text", "toxicity", "bad_words", sep="\t", file=args.output)
     for line in args.input:

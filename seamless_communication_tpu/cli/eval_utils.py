@@ -136,6 +136,35 @@ def make_whisper_transcriber(model_name_or_path: str, *, lang: str = "eng",
     return transcribe
 
 
+def make_m4t_transcriber(model_name: str, *, lang: str = "eng",
+                         local_hf_path: Optional[str] = None,
+                         batch_size: int = 8
+                         ) -> Callable[[Sequence], List[str]]:
+    """This framework's own M4T ASR as a ``transcribe(wavs) -> texts``
+    callable — the no-local-whisper fallback shared by the ASR-BLEU/ASR-ETOX
+    CLIs. Runs ``Translator.predict`` in fixed-size batches so an arbitrarily
+    large eval set never pads into one giant device batch (each chunk is one
+    (batch_size, T_max, 80) encoder batch + beam search)."""
+    from seamless_communication_tpu.cli.loading import (
+        load_unity_model_and_tokenizers,
+    )
+    from seamless_communication_tpu.inference.translator import Translator
+
+    params, cfg, text_tok, unit_tok, char_tok = \
+        load_unity_model_and_tokenizers(model_name, local_hf_path=local_hf_path)
+    translator = Translator(params, cfg, text_tok, unit_tok, char_tok)
+
+    def transcribe(wavs: Sequence) -> List[str]:
+        out: List[str] = []
+        for i in range(0, len(wavs), batch_size):
+            texts, _ = translator.predict(list(wavs[i:i + batch_size]),
+                                          "asr", lang)
+            out.extend(str(t) for t in texts)
+        return out
+
+    return transcribe
+
+
 # reference lang_mapping.py LANG3 -> LANG2 (whisper language codes); the
 # high-traffic subset — unlisted codes fall back to the ISO prefix
 LANG3_TO_LANG2 = {

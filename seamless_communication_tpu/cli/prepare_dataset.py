@@ -92,7 +92,9 @@ def main() -> None:
         if args.huggingface_token is None:
             parser.error("--huggingface_token is required for GigaSpeech "
                          "(please accept the GigaSpeech agreement)")
-        os.environ.setdefault("HF_TOKEN", args.huggingface_token)
+        # unconditional: an explicit --huggingface_token must beat a stale
+        # HF_TOKEN already exported in the shell
+        os.environ["HF_TOKEN"] = args.huggingface_token
         samples = build_gigaspeech_asr(args.split, args.save_dir,
                                        max_samples=args.max_samples)
 

@@ -129,18 +129,24 @@ def main() -> None:
             with open(src_tsv) as f:
                 released = list(csv.DictReader(f, delimiter="\t",
                                                quoting=csv.QUOTE_NONE))
-            joined = []
+            joined, missing = [], []
             for row in released:
                 en = en_by_id.get(row["id"])
                 if en is None:
+                    missing.append(row["id"])
                     continue
                 joined.append({
                     "id": row["id"], "src_audio": en["audio"],
                     "src_speaker": en["speaker"], "src_text": en["text"],
                     "src_lang": "eng", "tgt_text": row["text"],
                     "tgt_lang": lang, "label": en["label"]})
-            assert len(joined) == len(released), \
-                "missing items from downloaded En Expresso"
+            if missing:
+                raise RuntimeError(
+                    f"{subset}_mexpresso_{lang}: {len(missing)} released ids "
+                    "missing from the built En Expresso manifest (partial "
+                    "Expresso download, or style filtered by "
+                    f"WHITELIST_STYLE): {missing[:10]}"
+                    f"{'...' if len(missing) > 10 else ''}")
             out_path = args.output_folder / f"{subset}_mexpresso_eng_{lang}.tsv"
             with open(out_path, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=out_cols, delimiter="\t",

@@ -45,19 +45,12 @@ def main() -> None:
 
     transcribe = None
     if not args.whisper_model:
-        from seamless_communication_tpu.cli.loading import (
-            load_unity_model_and_tokenizers,
+        from seamless_communication_tpu.cli.eval_utils import (
+            make_m4t_transcriber,
         )
-        from seamless_communication_tpu.inference.translator import Translator
-
-        params, cfg, text_tok, unit_tok, char_tok = \
-            load_unity_model_and_tokenizers(args.asr_model_name,
-                                            local_hf_path=args.local_hf_path)
-        translator = Translator(params, cfg, text_tok, unit_tok, char_tok)
-
-        def transcribe(batch):
-            texts, _ = translator.predict(batch, "asr", args.tgt_lang)
-            return [str(t) for t in texts]
+        transcribe = make_m4t_transcriber(args.asr_model_name,
+                                          lang=args.tgt_lang,
+                                          local_hf_path=args.local_hf_path)
 
     score = compute_asr_bleu(wavs, refs, transcribe=transcribe,
                              whisper_model_name=args.whisper_model,

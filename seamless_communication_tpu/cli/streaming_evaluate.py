@@ -77,17 +77,14 @@ def main() -> None:
     if args.compute_asr_bleu and args.task == "s2st":
         # the streaming UnitY checkpoint has no text decoder; the quality
         # scorer loads a full M4T model for ASR (reference
-        # seamless_quality_scorer.py:24-136)
-        asr_params, asr_cfg, asr_text_tok, asr_unit_tok, asr_char_tok = \
-            load_unity_model_and_tokenizers(args.asr_model_name,
-                                            local_hf_path=args.local_hf_path)
-        from seamless_communication_tpu.inference.translator import Translator
-        asr_translator = Translator(asr_params, asr_cfg, asr_text_tok,
-                                    asr_unit_tok, asr_char_tok)
-
-        def transcribe(batch):
-            texts, _ = asr_translator.predict(batch, "asr", args.tgt_lang)
-            return [str(t) for t in texts]
+        # seamless_quality_scorer.py:24-136); batched so a large eval set
+        # never pads into one giant device batch
+        from seamless_communication_tpu.cli.eval_utils import (
+            make_m4t_transcriber,
+        )
+        transcribe = make_m4t_transcriber(args.asr_model_name,
+                                          lang=args.tgt_lang,
+                                          local_hf_path=args.local_hf_path)
 
     if args.task in ("s2tt", "asr"):
         def factory():

@@ -166,7 +166,12 @@ def _manifest_batches(path: str, text_tokenizer: NllbTokenizer, *,
                         "manifest prepared with a different char tokenizer, "
                         "or max_tokens truncated the text")
                 td[b, :len(durs)] = durs
-            U = _bucket(max(sum(d) for d in durations), 32)
+            # cap the unit grid at max_units: the trainer upsamples to
+            # target_units.shape[1] frames (max_unit_len), so this bound —
+            # not the raw sum of durations — is what bounds activation
+            # memory; frames past the cap are UNIT_PAD (excluded from the
+            # NLL), consistent with the raw[:max_units] truncation above
+            U = _bucket(min(max(sum(d) for d in durations), max_units), 32)
             tu = np.full((B, U), UNIT_PAD, np.int32)
             for b, units in enumerate(raw_units):
                 n = min(len(units), sum(durations[b]), U)

@@ -142,12 +142,18 @@ def evaluate_streaming(pipeline_factory: Callable, waveforms: List[np.ndarray], 
             from seamless_communication_tpu.cli.eval_utils import (
                 compute_asr_bleu,
             )
-            wavs = [np.concatenate(i.wav_chunks) if i.wav_chunks
-                    else np.zeros(160, np.float32) for i in instances]
-            if instances and instances[0].wav_sample_rate != 16000:
-                from seamless_communication_tpu.audio.wav import resample
-                wavs = [resample(w, instances[0].wav_sample_rate, 16000)
-                        for w in wavs]
+            from seamless_communication_tpu.audio.wav import resample
+
+            # resample per instance: an instance that emitted no speech keeps
+            # the 16 kHz default, so instance 0's rate can't stand in for the
+            # batch (e.g. PRETSSEL emits 24 kHz)
+            wavs = []
+            for inst in instances:
+                w = (np.concatenate(inst.wav_chunks) if inst.wav_chunks
+                     else np.zeros(160, np.float32))
+                if inst.wav_sample_rate != 16000:
+                    w = resample(w, inst.wav_sample_rate, 16000)
+                wavs.append(w)
             metrics["asr_bleu"] = compute_asr_bleu(
                 wavs, references, transcribe=transcribe, lang=tgt_lang)
     if not output_is_speech:

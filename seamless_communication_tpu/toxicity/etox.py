@@ -13,13 +13,16 @@ from typing import Dict, List, Optional, Sequence, Set
 
 from seamless_communication_tpu.text.spm import SentencePieceModel
 
+# languages matched on SentencePiece token subsequences rather than word
+# boundaries (reference etox_bad_word_checker.py SPM_LANGUAGES)
+SP_LANGS = ("cmn", "cmn_Hant", "jpn", "tha", "lao", "mya")
+
 
 class ETOXBadWordChecker:
     def __init__(self, bad_words: Dict[str, List[str]],
                  bad_word_variants: Dict[str, Dict[str, List[str]]],
                  sp_model: Optional[SentencePieceModel] = None,
-                 sp_langs: Sequence[str] = ("cmn", "cmn_Hant", "jpn", "tha",
-                                            "lao", "mya")):
+                 sp_langs: Sequence[str] = SP_LANGS):
         self.bad_words = bad_words
         self.bad_word_variants = bad_word_variants
         self.sp_model = sp_model

@@ -20,15 +20,11 @@ def test_etox_cli_stdin_stdout(tmp_path, monkeypatch):
         "etox", "eng", "--etox_dataset", str(tmp_path)])
     monkeypatch.setattr(sys, "stdin",
                         io.StringIO("hello there\nso badword much\n"))
-    # the default sp_model comes from the mintox card (a URL, unreachable in
-    # tests) — patch the loader to build the checker from the word lists only
+    # no monkeypatching: the real _load_checker is hermetic here — the dataset
+    # is an explicit local dir and the mintox card's sp_model (a URL) is only
+    # resolved for SP_LANGS, which eng is not
     from seamless_communication_tpu.cli import etox as etox_cli
 
-    monkeypatch.setattr(
-        etox_cli, "_load_checker",
-        lambda dataset, sp: __import__(
-            "seamless_communication_tpu.toxicity.etox",
-            fromlist=["load_etox_checker"]).load_etox_checker(dataset))
     monkeypatch.setattr(sys, "stdout", out)
     try:
         etox_cli.main()
