@@ -65,8 +65,11 @@ def main() -> None:
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     # int8 weight-only is the default serving mode (quantization error bounded in
-    # tests/unit/test_quantization.py); BENCH_BF16=1 benches the fp path
+    # tests/unit/test_quantization.py); BENCH_BF16=1 benches the fp path and
+    # BENCH_W4=1 the opt-in group-int4 weights (halved HBM weight reads,
+    # lossier — see ops/quantization.py)
     quantized = not os.environ.get("BENCH_BF16")
+    w_bits = 4 if os.environ.get("BENCH_W4") else 8
 
     # weight init is benched separately from compile: it is bench-only overhead
     # (real serving loads converted checkpoints), dominated by per-leaf RPC
@@ -81,7 +84,7 @@ def main() -> None:
             from seamless_communication_tpu.ops.quantization import (
                 quantize_params,
             )
-            params = quantize_params(params)
+            params = quantize_params(params, bits=w_bits)
         voc_params = code_hifigan_init(jax.random.PRNGKey(1), voc_cfg,
                                        dtype=dtype)
         return params, voc_params
@@ -229,7 +232,7 @@ def main() -> None:
              "decode_cap": f"reference min(S+200,1024)={TEXT_MAX_LEN} steps, "
                            "min_len forces all steps",
              "char_frontend": "real host pass (text/char_frontend.py) in timed path",
-             "weights": "int8" if quantized else "bf16",
+             "weights": (f"int{w_bits}" if quantized else "bf16"),
              "kv_cache": "int8" if kv_int8 else "bf16",
              "platform": str(jax.devices()[0]).strip()}
 

@@ -57,7 +57,8 @@ def _unity_params_from_pt(pt_path: str, card: dict,
 def load_unity_model_and_tokenizers(card_name: str, *, dtype=None,
                                     local_hf_path: Optional[str] = None,
                                     local_pt_path: Optional[str] = None,
-                                    quantize: bool = False):
+                                    quantize: bool = False,
+                                    quantize_bits: int = 8):
     """-> (params, UnitYConfig, NllbTokenizer, UnitTokenizer, CharTokenizer|None).
 
     Checkpoint resolution order: explicit ``local_pt_path`` -> HF (explicit
@@ -96,7 +97,7 @@ def load_unity_model_and_tokenizers(card_name: str, *, dtype=None,
         params = to_jax(convert_hf_seamless_m4t_v2(model), dtype or jnp.bfloat16)
     if quantize:
         from seamless_communication_tpu.ops.quantization import quantize_params
-        params = quantize_params(params)
+        params = quantize_params(params, bits=quantize_bits)
 
     # tokenizers
     spm_path = resolve_asset(card.get("tokenizer",

@@ -39,6 +39,12 @@ def add_inference_arguments(parser: argparse.ArgumentParser) -> argparse.Argumen
     parser.add_argument("--spkr", type=int, default=-1)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight-only quantization for faster decode")
+    parser.add_argument("--quantize_bits", type=int, default=8,
+                        choices=(4, 8),
+                        help="weight quantization width with --quantize: 8 "
+                             "(default, near-lossless) or 4 (group-128 "
+                             "scales; halves weight HBM reads again, "
+                             "lossier — see ops/quantization.py)")
     parser.add_argument("--apply_mintox", action="store_true",
                         help="MinTox added-toxicity mitigation (requires "
                              "--etox_dataset)")
@@ -65,7 +71,8 @@ def main() -> None:
 
     _, out_mod = get_modalities_from_task_str(args.task)
     params, cfg, text_tok, unit_tok, char_tok = load_unity_model_and_tokenizers(
-        args.model_name, local_hf_path=args.local_hf_path, quantize=args.quantize)
+        args.model_name, local_hf_path=args.local_hf_path,
+        quantize=args.quantize, quantize_bits=args.quantize_bits)
     voc_params = voc_cfg = None
     idx_map = {}
     if out_mod is Modality.SPEECH:

@@ -46,6 +46,11 @@ def linear(params: dict, x: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
     if "weight_i8" in params:
         from seamless_communication_tpu.ops.quantization import linear_quantized
         return linear_quantized(params, x, accum_dtype=accum_dtype)
+    if "weight_i4" in params:
+        from seamless_communication_tpu.ops.quantization import (
+            linear_quantized_int4,
+        )
+        return linear_quantized_int4(params, x, accum_dtype=accum_dtype)
     w = params["weight"]
     y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=accum_dtype)
     b = params.get("bias")
@@ -94,6 +99,11 @@ def embedding(params: dict, ids: jax.Array, *, scale: Optional[float] = None) ->
             embedding_lookup_quantized,
         )
         return embedding_lookup_quantized(params, ids, scale_mult=scale)
+    if "embedding_i4" in params:
+        from seamless_communication_tpu.ops.quantization import (
+            embedding_lookup_quantized_int4,
+        )
+        return embedding_lookup_quantized_int4(params, ids, scale_mult=scale)
     e = params["embedding"][ids]
     if scale is not None:
         e = e * jnp.asarray(scale, e.dtype)

@@ -684,5 +684,10 @@ def tied_projection(embed_params: dict, x: jax.Array) -> jax.Array:
             tied_projection_quantized,
         )
         return tied_projection_quantized(embed_params, x)
+    if "embedding_i4" in embed_params:
+        from seamless_communication_tpu.ops.quantization import (
+            tied_projection_quantized_int4,
+        )
+        return tied_projection_quantized_int4(embed_params, x)
     w = embed_params["embedding"]
     return jnp.matmul(x, w.astype(x.dtype).T, preferred_element_type=jnp.float32)
