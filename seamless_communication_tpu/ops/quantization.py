@@ -251,7 +251,7 @@ def quantization_report(params) -> dict:
         nonlocal total, quant
         if isinstance(node, dict):
             for k, v in node.items():
-                if k == "weight_i8":
+                if k in ("weight_i8", "embedding_i8"):
                     quant += v.size
                     total += v.size
                 elif k in ("weight_i4", "embedding_i4"):
