@@ -108,9 +108,10 @@ class EarlyStoppingMixin:
 
 
 class AgentPipeline:
-    """Chain of agents; each push/pop cycles every agent in order
-    (reference UnitYAgentPipeline.pop restart-on-early-EOS at
-    unity_pipeline.py:172-190)."""
+    """Chain of agents; each push/pop cycles every agent in order, with the
+    reference's restart-on-early-EOS: a finished output while the source is
+    still live resets the whole pipeline and clears the finished flag
+    (reference UnitYAgentPipeline.pop, unity_pipeline.py:172-190)."""
 
     def __init__(self, agents: List[GenericAgent]):
         self.agents = agents
@@ -118,6 +119,10 @@ class AgentPipeline:
     def reset(self) -> None:
         for a in self.agents:
             a.reset()
+
+    @property
+    def finished(self) -> bool:
+        return self.agents[-1].states.target_finished
 
     def process(self, segment: Segment) -> List[Segment]:
         """Feed one source segment; return all output segments produced."""
@@ -128,6 +133,78 @@ class AgentPipeline:
             seg = agent.pop()
             if seg.is_empty and not seg.finished:
                 return outputs
+        if seg.finished and not self.agents[0].states.source_finished:
+            # early stop: start over (reference unity_pipeline.py:181-190)
+            self.reset()
+            seg.finished = False
         if not seg.is_empty or seg.finished:
             outputs.append(seg)
+        return outputs
+
+
+class TreeAgentPipeline:
+    """Tree-structured agent pipeline (reference ``UnitYAgentTreePipeline``,
+    unity_pipeline.py:197-243, used by the joint S2TT+S2ST streaming variants,
+    seamless_streaming_s2st.py:49-57): one source agent's output fans out to
+    parallel branches — e.g. the EMMA text decoder feeds BOTH a detokenizer
+    (text branch) and the NAR unit decoder → vocoder (speech branch), so a
+    single session emits simultaneous text and waveform.
+
+    ``tree`` maps each agent to its list of children; leaves may appear only
+    as children. Exactly one agent must not be any agent's child — that is the
+    source. ``process`` pushes one source segment, advances each branch
+    (skipping subtrees whose parent produced an empty unfinished segment, the
+    same gate the linear pipeline applies between stages) and returns the
+    segments emitted by LEAF agents this cycle, each stamped with a
+    ``source_agent`` attribute. The reference's restart-on-early-EOS applies:
+    any finished leaf output while the source is still live resets the whole
+    tree and clears the finished flags (unity_pipeline.py:230-242)."""
+
+    def __init__(self, tree):
+        self.tree = dict(tree)
+        children = [c for cs in self.tree.values() for c in cs]
+        for c in children:
+            self.tree.setdefault(c, [])
+        if len(set(map(id, children))) != len(children):
+            raise ValueError("an agent appears as a child of two parents")
+        child_ids = set(map(id, children))
+        roots = [a for a in self.tree if id(a) not in child_ids]
+        if len(roots) != 1:
+            raise ValueError(f"tree must have exactly one source, got {len(roots)}")
+        self.source = roots[0]
+        self.agents = list(self.tree)
+        self.leaves = [a for a, cs in self.tree.items() if not cs]
+
+    def reset(self) -> None:
+        for a in self.agents:
+            a.reset()
+
+    @property
+    def finished(self) -> bool:
+        return all(a.states.target_finished for a in self.leaves)
+
+    def process(self, segment: Segment) -> List[Segment]:
+        outputs: List[Segment] = []
+
+        def visit(agent: GenericAgent, seg: Segment) -> None:
+            agent.push(seg)
+            out = agent.pop()
+            kids = self.tree[agent]
+            if not kids:
+                if not out.is_empty or out.finished:
+                    out.source_agent = agent
+                    outputs.append(out)
+                return
+            if out.is_empty and not out.finished:
+                return
+            for c in kids:
+                visit(c, out)
+
+        visit(self.source, segment)
+        if (any(o.finished for o in outputs)
+                and not self.source.states.source_finished):
+            # early stop on any branch: start over (unity_pipeline.py:230-242)
+            self.reset()
+            for o in outputs:
+                o.finished = False
         return outputs

@@ -53,3 +53,31 @@ class DetokenizerAgent(GenericAgent):
         full = pending[:last_space].replace(SPM_SPACE, " ").strip()
         states.buffer = [pending[last_space:]]
         return WriteAction(TextSegment(content=full), finished=False)
+
+
+class UnitYDetokenizerStates(AgentStates):
+    """Source is a stream of UnitYTextDecoderOutput segments (the tree
+    pipeline feeds the text decoder's full output to this branch); accumulate
+    the token strings only (reference detokenizer.py UnitYDetokenizerAgentStates)."""
+
+    def reset(self) -> None:
+        super().reset()
+        self.buffer = []
+
+    def update_source(self, segment) -> None:
+        self.source_finished = segment.finished
+        if self.tgt_lang is None and segment.tgt_lang is not None:
+            self.tgt_lang = segment.tgt_lang
+        if segment.is_empty or segment.content is None:
+            return
+        self.source += list(segment.content.tokens)
+
+
+class UnitYDetokenizerAgent(DetokenizerAgent):
+    """Detokenizer for the TREE pipeline's text branch: consumes the
+    UnitYTextDecoderOutput the decoder emits for the unit branch and
+    detokenizes its ``tokens`` (reference detokenizer.py UnitYDetokenizerAgent,
+    used by the joint S2TT+S2ST tree variants)."""
+
+    def build_states(self) -> UnitYDetokenizerStates:
+        return UnitYDetokenizerStates()

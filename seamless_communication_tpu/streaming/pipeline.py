@@ -13,7 +13,7 @@ from seamless_communication_tpu.models.unity.builder import UnitYConfig
 from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
 from seamless_communication_tpu.models.vocoder.codehifigan import CodeHifiGanConfig
 from seamless_communication_tpu.streaming.agents.common import (
-    AgentPipeline, Segment, SpeechSegment,
+    AgentPipeline, Segment, SpeechSegment, TreeAgentPipeline,
 )
 from seamless_communication_tpu.streaming.agents.detokenizer import DetokenizerAgent
 from seamless_communication_tpu.streaming.agents.offline_w2v_bert_encoder import (
@@ -177,6 +177,70 @@ def build_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
     ])
 
 
+def build_s2st_tree_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
+                             mono_params: dict, mono_cfg: MonotonicDecoderConfig,
+                             text_tokenizer: NllbTokenizer,
+                             unit_tokenizer: UnitTokenizer,
+                             char_tokenizer: CharTokenizer,
+                             vocoder_params: dict, vocoder_cfg: CodeHifiGanConfig,
+                             lang_spkr_idx_map: dict, *, tgt_lang: str = "eng",
+                             min_starting_wait_w2vbert: int = 192,
+                             decision_threshold: float = 0.5,
+                             min_unit_chunk_size: int = 50,
+                             denormalize: bool = False, max_len_b: int = 200,
+                             max_consecutive_writes: int = 50,
+                             text_bucket: int = 16,
+                             mono_quantize_int8: Optional[bool] = None,
+                             fused="auto") -> TreeAgentPipeline:
+    """Joint S2TT + S2ST TREE pipeline (reference SeamlessStreamingS2STJointVADAgent,
+    seamless_streaming_s2st.py:49-57 over UnitYAgentTreePipeline,
+    unity_pipeline.py:197-243): ONE text-decoder feed fans out to a
+    detokenizer branch (TextSegment outputs) and a NAR unit decoder → vocoder
+    branch (SpeechSegment outputs), so a single session emits simultaneous
+    text and waveform. Same knobs as build_s2st_pipeline."""
+    from seamless_communication_tpu.streaming.agents.detokenizer import (
+        UnitYDetokenizerAgent,
+    )
+
+    mono_params = _maybe_quantize_mono(mono_params, mono_quantize_int8)
+    fused = _resolve_fused(fused, unity_cfg)
+    feat = OnlineFeatureExtractorAgent(denormalize=denormalize)
+    if fused:
+        from seamless_communication_tpu.streaming.fused import (
+            FusedUnitYMMATextDecoderAgent,
+            IncrementalFusedUnitYMMATextDecoderAgent,
+        )
+        agent_cls = (IncrementalFusedUnitYMMATextDecoderAgent
+                     if fused == "incremental"
+                     else FusedUnitYMMATextDecoderAgent)
+        text_decoder = agent_cls(
+            unity_params, unity_cfg, mono_params, mono_cfg, text_tokenizer,
+            tgt_lang=tgt_lang, min_starting_wait=min_starting_wait_w2vbert,
+            max_len_b=max_len_b, max_consecutive_writes=max_consecutive_writes,
+            decision_threshold=decision_threshold)
+        chain = [feat, text_decoder]
+    else:
+        encoder = OfflineWav2VecBertEncoderAgent(
+            unity_params, unity_cfg,
+            min_starting_wait=min_starting_wait_w2vbert)
+        text_decoder = UnitYMMATextDecoderAgent(
+            mono_params, mono_cfg, text_tokenizer, tgt_lang=tgt_lang,
+            max_len_b=max_len_b, max_consecutive_writes=max_consecutive_writes,
+            decision_threshold=decision_threshold)
+        chain = [feat, encoder, text_decoder]
+    detok = UnitYDetokenizerAgent()
+    unit_decoder = NARUnitYUnitDecoderAgent(
+        unity_params, unity_cfg, unit_tokenizer, text_tokenizer, char_tokenizer,
+        min_unit_chunk_size=min_unit_chunk_size, text_bucket=text_bucket)
+    vocoder = VocoderAgent(vocoder_params, vocoder_cfg,
+                           lang_spkr_idx_map=lang_spkr_idx_map,
+                           tgt_lang=tgt_lang)
+    tree = {a: [b] for a, b in zip(chain, chain[1:])}
+    tree[chain[-1]] = [detok, unit_decoder]
+    tree[unit_decoder] = [vocoder]
+    return TreeAgentPipeline(tree)
+
+
 def build_expressive_s2st_pipeline(unity_params: dict, unity_cfg: UnitYConfig,
                                    mono_params: dict,
                                    mono_cfg: MonotonicDecoderConfig,
@@ -265,6 +329,9 @@ class StreamingSession:
 
         n = len(waveform)
         n_chunks = max(1, -(-n // self.segment_size))
+        # tree pipelines finish when EVERY leaf branch has emitted a finished
+        # segment; linear pipelines when the last agent has (the `finished`
+        # property on both covers it)
         done = False
         for i in range(n_chunks):
             chunk = waveform[i * self.segment_size:(i + 1) * self.segment_size]
@@ -272,12 +339,12 @@ class StreamingSession:
                                 finished=(i == n_chunks - 1),
                                 tgt_lang=self.tgt_lang)
             for out in self.pipeline.process(seg):
-                done = done or out.finished
                 yield i, out
+            done = self.pipeline.finished
         drain = 0
         while not done and drain < max_drain_steps:
             drain += 1
             for out in self.pipeline.process(
                     EmptySegment(finished=True, tgt_lang=self.tgt_lang)):
-                done = done or out.finished
                 yield n_chunks - 1, out
+            done = self.pipeline.finished

@@ -177,6 +177,78 @@ def test_incremental_matches_fused_s2t(setup):
     assert toks["incremental"] == toks[True] and len(toks[True]) > 0
 
 
+def test_s2st_tree_streaming(setup):
+    """The joint S2TT+S2ST tree pipeline (reference UnitYAgentTreePipeline,
+    unity_pipeline.py:197-243) must emit BOTH text and waveform segments from
+    one session, and both branches must finish."""
+    from seamless_communication_tpu.streaming.pipeline import (
+        build_s2st_tree_pipeline,
+    )
+
+    s = setup
+    pipe = build_s2st_tree_pipeline(
+        s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"], s["text_tok"],
+        s["unit_tok"], s["char_tok"], s["voc_params"], s["voc_cfg"],
+        {"multilingual": {"eng": 0}, "multispkr": {"eng": [0]}},
+        tgt_lang="eng", min_starting_wait_w2vbert=16, decision_threshold=0.4,
+        min_unit_chunk_size=5, max_len_b=12, max_consecutive_writes=6,
+        text_bucket=32)
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)).astype(np.float32)
+    session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
+    text_out, wav_samples = [], 0
+    for _, seg in session.run(wav):
+        if hasattr(seg, "sample_rate"):
+            if seg.content is not None:
+                wav_samples += np.asarray(seg.content).size
+        elif seg.content:
+            text_out.append(str(seg.content))
+    assert pipe.finished
+    assert wav_samples > 0, "speech branch emitted no audio"
+    assert any(t.strip() for t in text_out), "text branch emitted no words"
+
+
+def test_tree_matches_linear_s2st(setup):
+    """The tree pipeline's unit branch must produce the exact same decoder
+    token sequence and unit stream as the linear S2ST pipeline (the fan-out
+    must not perturb the decoder/unit agents), and fused == unfused holds for
+    the tree as it does for the linear pipelines."""
+    from seamless_communication_tpu.streaming.pipeline import (
+        build_s2st_tree_pipeline,
+    )
+
+    s = setup
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)).astype(np.float32)
+    kw = dict(tgt_lang="eng", min_starting_wait_w2vbert=16,
+              decision_threshold=0.001, min_unit_chunk_size=5, max_len_b=12,
+              max_consecutive_writes=6, text_bucket=32)
+    args = (s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"],
+            s["text_tok"], s["unit_tok"], s["char_tok"], s["voc_params"],
+            s["voc_cfg"], {"multilingual": {"eng": 0}, "multispkr": {"eng": [0]}})
+
+    results = {}
+    for fused in (False, True):
+        units = {}
+        for kind in ("linear", "tree"):
+            build = build_s2st_pipeline if kind == "linear" else build_s2st_tree_pipeline
+            pipe = build(*args, fused=fused, **kw)
+            agents = pipe.agents
+            dec = agents[1 if fused else 2]
+            unit_dec = next(a for a in agents
+                            if type(a).__name__ == "NARUnitYUnitDecoderAgent")
+            emitted = []
+            for _, seg in StreamingSession(pipe, segment_size_ms=320,
+                                           tgt_lang="eng").run(wav):
+                if not hasattr(seg, "sample_rate") and not isinstance(
+                        seg.content, (str, type(None))):
+                    emitted.append(seg)
+            units[kind] = (list(dec.states.target_indices),
+                           list(unit_dec.states.source_token_list))
+        assert units["tree"] == units["linear"]
+        assert len(units["tree"][0]) > 0
+        results[fused] = units["tree"]
+    assert results[True] == results[False]
+
+
 def test_s2t_streaming_int8_mono(setup):
     """mono_quantize_int8=True (the TPU serving default) must stream end to
     end on CPU too: every linear/embedding in the EMMA decode path dispatches
