@@ -41,9 +41,11 @@ def main() -> None:
     K, V = BEAM, cfg.nllb.vocab_size
     prefix = jnp.array([[3, 5]], jnp.int32)
 
+    def init_bf16():
+        return unity.unity_init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
     def init_bits(bits):
-        params = unity.unity_init(jax.random.PRNGKey(0), cfg, dtype=dtype)
-        return quantize_params(params, bits=bits)
+        return quantize_params(init_bf16(), bits=bits)
 
     avals = {b: jax.eval_shape(lambda b=b: init_bits(b)) for b in (8, 4)}
     rng = np.random.default_rng(0)
@@ -63,40 +65,51 @@ def main() -> None:
                           jnp.array([2], jnp.int32), opts, V, src_to_step=True)
         return res.tokens[:, 0], res.lengths[:, 0]
 
+    # int4 arrays cannot exist AT REST on this backend: a pre-quantized S4
+    # arg hits a device_put relayout recursion, and host fetch of S4 is
+    # UNIMPLEMENTED. So each mode quantizes IN-GRAPH (hoisted before the
+    # decode loop): the while-loop body still reads int8/int4 weights from
+    # HBM each of the 262 steps, which is the effect under test. The one-off
+    # in-graph quantize cost is measured separately below and is similar for
+    # both modes (~read 5 GB bf16 + write the table).
     t0 = time.time()
-    lowered = {f"w{b}": jax.jit(stage_beam).lower(avals[b], enc_aval, prefix)
-               for b in (8, 4)}
-    print(f"# lowered at {time.time()-t0:.1f}s", flush=True)
+    bf16 = init_bf16()
+    jax.block_until_ready(bf16)
+    print(f"# init {time.time()-t0:.1f}s", flush=True)
 
-    init_box = {}
+    MODES = (("w8", 8, 128), ("w4g128", 4, 128), ("w4col", 4, 0))
+    fns = {}
+    for mode, bits, grp in MODES:
+        fns[mode] = jax.jit(
+            lambda p, enc, prefix, b=bits, g=grp: stage_beam(
+                quantize_params(p, bits=b, int4_group=g), enc, prefix))
+    qfn = jax.jit(lambda p: jax.tree.map(
+        lambda a: a.reshape(-1)[0].astype(jnp.float32),
+        quantize_params(p, bits=4)))
 
-    def run_init(b):
-        p = init_bits(b)
-        jax.block_until_ready(p)
-        init_box[b] = p
-
+    # quantize-only overhead probe (int8 form; fetches one scalar per leaf)
+    np.asarray(jax.tree.leaves(qfn(bf16))[0])
     t0 = time.time()
-    with ThreadPoolExecutor(4) as ex:
-        fis = [ex.submit(run_init, b) for b in (8, 4)]
-        fs = [(k, ex.submit(l.compile)) for k, l in lowered.items()]
-        compiled = {k: f.result() for k, f in fs}
-        compile_s = time.time() - t0
-        [f.result() for f in fis]
-    print(f"# compiled {compile_s:.1f}s, wall {time.time()-t0:.1f}s", flush=True)
+    np.asarray(jax.tree.leaves(qfn(bf16))[0])
+    quant_ms = round((time.time() - t0) * 1000.0, 1)
+
+    compile_s = {}
+    trials = {m: [] for m in fns}
 
     def run(mode):
-        b = int(mode[1:])
         t0 = time.time()
-        toks, lens = compiled[mode](init_box[b], enc, prefix)
+        toks, _ = fns[mode](bf16, enc, prefix)
         np.asarray(toks)
         return (time.time() - t0) * 1000.0
 
-    for m in compiled:
+    for m in fns:
+        t0 = time.time()
         run(m)
-
-    trials = {m: [] for m in compiled}
+        compile_s[m] = round(time.time() - t0, 1)
+        run(m)
+    names = [m for m, _, _ in MODES]
     for i in range(n_trials):
-        order = ("w8", "w4") if i % 2 == 0 else ("w4", "w8")
+        order = names if i % 2 == 0 else names[::-1]
         for m in order:
             trials[m].append(round(run(m), 1))
 
@@ -105,7 +118,8 @@ def main() -> None:
     for m, ts in trials.items():
         out[f"{m}_p50_ms"] = round(float(np.median(ts)), 1)
         out[f"{m}_ms_per_step"] = round(float(np.median(ts)) / TEXT_MAX_LEN, 3)
-    out["compile_s"] = round(compile_s, 1)
+    out["compile_s"] = compile_s
+    out["inline_quantize_ms"] = quant_ms
     print(json.dumps(out), flush=True)
 
 

@@ -97,13 +97,179 @@ ALIGNER_REF_DURATIONS_FP32 = [
 
 
 # ---------------------------------------------------------------------------
+# selftest: synthetic tiny checkpoints so the harness's loading / wiring /
+# anchor plumbing executes in CI (VERDICT r3 item 6). The exporters invert the
+# converter layouts (checkpoint/fairseq_export.py); golden-anchor equality is
+# replaced by structural checks (finiteness, MAS duration-sum identity, both
+# modalities produced) — real numerics still need real weights.
+# ---------------------------------------------------------------------------
+
+SELFTEST_LANGS = ["eng", "fra", "deu", "spa"]
+_ST_WORDS = ["▁the", "▁cat", "▁sat", "▁on", "▁mat", "▁a", "▁dog", ".", ",",
+             "▁he", "llo", "▁wor", "ld"]
+_ST_CHARS = ["▁"] + list("abcdefghijklmnopqrstuvwxyz.,")
+_ST_TEXT = "hello world"
+
+
+def _selftest_mono_cfg():
+    from seamless_communication_tpu.models.monotonic.model import (
+        MonotonicDecoderConfig,
+    )
+    return MonotonicDecoderConfig(
+        model_dim=64, num_layers=2, num_heads=4, ffn_inner_dim=128,
+        vocab_size=256, num_monotonic_energy_layers=2, pre_decision_ratio=2)
+
+
+def _selftest_voc_cfg():
+    from seamless_communication_tpu.models.vocoder.codehifigan import (
+        CodeHifiGanConfig,
+    )
+    from seamless_communication_tpu.models.vocoder.hifigan import HifiGanConfig
+    return CodeHifiGanConfig(
+        num_units=100, unit_embed_dim=32, num_langs=4, lang_embed_dim=8,
+        num_spkrs=4, spkr_embed_dim=8, dur_predictor_hidden=16,
+        hifigan=HifiGanConfig(model_in_dim=48, upsample_initial_channel=64,
+                              upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),)))
+
+
+def _selftest_pretssel_cfg():
+    from seamless_communication_tpu.models.pretssel.ecapa_tdnn import EcapaConfig
+    from seamless_communication_tpu.models.pretssel.streamable import SeanetConfig
+    from seamless_communication_tpu.models.pretssel.vocoder import PretsselConfig
+    from seamless_communication_tpu.models.vocoder.hifigan import HifiGanConfig
+    return PretsselConfig(
+        num_units=112, model_dim=32, num_heads=2, ffn_inner_dim=64,
+        conv_kernel_size=5, num_encoder_layers=1, num_decoder_layers=1,
+        num_langs=4, lang_embed_dim=8, prosody_dim=16, pn_conv_dim=16,
+        pn_layers=2, pn_kernel_size=5, dur_predictor_hidden=16,
+        hifigan=HifiGanConfig(model_in_dim=80, upsample_initial_channel=32,
+                              upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 2),)),
+        seanet=SeanetConfig(dimension=16, n_filters=4, ratios=(4, 2), lstm=1),
+        ecapa=EcapaConfig(channels=(16, 16, 16, 16, 32),
+                          kernel_sizes=(5, 3, 3, 3, 1), dilations=(1, 2, 3, 4, 1),
+                          attention_channels=8, res2net_scale=4, se_channels=8,
+                          groups=(1,) * 5, embed_dim=16, input_dim=80))
+
+
+def _selftest_aligner_cfgs():
+    from seamless_communication_tpu.models.aligner.model import AlignerConfig
+    from seamless_communication_tpu.models.unit_extractor.wav2vec2_raw import (
+        Wav2Vec2RawConfig,
+    )
+    a_cfg = AlignerConfig(embed_dim=16, feat_dim=24, text_vocab_size=64,
+                          unit_vocab_size=120, text_layers=2, feat_layers=3)
+    x_cfg = Wav2Vec2RawConfig(model_dim=32, feature_dim=16,
+                              conv_layers=((16, 3, 2), (16, 2, 2)),
+                              pos_conv_kernel=8, pos_conv_groups=4,
+                              num_layers=2, num_heads=4, ffn_inner_dim=64)
+    return a_cfg, x_cfg
+
+
+def _selftest_text_opts():
+    from seamless_communication_tpu.inference.generator import (
+        SequenceGeneratorOptions,
+    )
+    return SequenceGeneratorOptions(beam_size=2, soft_max_seq_len=(0, 16),
+                                    hard_max_seq_len=16)
+
+
+def make_selftest_dir(d: str) -> None:
+    """Generate every file the harness expects, at tiny dims, into ``d``."""
+    import wave
+
+    import jax
+    import torch
+
+    from seamless_communication_tpu.checkpoint.fairseq_export import (
+        export_aligner, export_conformer_shaw_fairseq1, export_monotonic_fairseq1,
+        export_pretssel, export_unity, export_vocoder, export_w2v2_raw,
+    )
+    from seamless_communication_tpu.models.aligner.model import aligner_init
+    from seamless_communication_tpu.models.monotonic.model import (
+        monotonic_decoder_init,
+    )
+    from seamless_communication_tpu.models.pretssel.vocoder import pretssel_init
+    from seamless_communication_tpu.models.unit_extractor.wav2vec2_raw import (
+        wav2vec2_raw_init,
+    )
+    from seamless_communication_tpu.models.unity import model as unity
+    from seamless_communication_tpu.models.unity.builder import get_arch
+    from seamless_communication_tpu.models.vocoder.codehifigan import (
+        code_hifigan_init,
+    )
+    from seamless_communication_tpu.text.spm import (
+        TYPE_CONTROL, TYPE_NORMAL, TYPE_UNKNOWN, build_spm_model,
+    )
+
+    os.makedirs(d, exist_ok=True)
+    key = jax.random.PRNGKey
+
+    def save(name, obj):
+        torch.save(obj, os.path.join(d, name))
+
+    base = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+            ("</s>", 0.0, TYPE_CONTROL)]
+    with open(os.path.join(d, "tokenizer.model"), "wb") as f:
+        f.write(build_spm_model(
+            base + [(w, -float(20 - len(w)), TYPE_NORMAL) for w in _ST_WORDS]
+            + [(c, -30.0, TYPE_NORMAL) for c in _ST_CHARS]))
+    with open(os.path.join(d, "spm_char_lang38_tc.model"), "wb") as f:
+        f.write(build_spm_model(
+            base + [(c, -1.0, TYPE_NORMAL) for c in _ST_CHARS]))
+
+    # 2 s of a 300 Hz sine as the LJ fixture stand-in (16 kHz 16-bit mono)
+    t = np.arange(32000) / 16000.0
+    pcm = (0.1 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    with wave.open(os.path.join(d, "LJ037-0171_sr16k.wav"), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+
+    v2 = unity.unity_init(key(0), get_arch("tiny_v2"))
+    save("seamlessM4T_v2_large.pt", {"model": export_unity(v2)})
+    save("conformer_shaw.pt",
+         {"model": export_conformer_shaw_fairseq1(v2["speech_encoder"])})
+    save("seamlessM4T_large.pt", {"model": export_unity(
+        unity.unity_init(key(1), get_arch("tiny_v1")), conv_batch_norm=True)})
+    save("m2m_expressive_unity.pt", {"model": export_unity(
+        unity.unity_init(key(2), get_arch("tiny_expressive")))})
+    save("seamless_streaming_unity.pt", {"model": export_unity(
+        unity.unity_init(key(3), get_arch("tiny_v2")))})
+    save("seamless_streaming_monotonic_decoder.pt",
+         {"model": export_monotonic_fairseq1(
+             monotonic_decoder_init(key(4), _selftest_mono_cfg()))})
+    voc_cfg = _selftest_voc_cfg()
+    save("vocoder_v2.pt", {"generator": export_vocoder(
+        code_hifigan_init(key(5), voc_cfg))})
+    save("vocoder_36langs.pt", {"generator": export_vocoder(
+        code_hifigan_init(key(6), voc_cfg))})
+    a_cfg, x_cfg = _selftest_aligner_cfgs()
+    save("nar_t2u_aligner.pt", export_aligner(aligner_init(key(7), a_cfg)))
+    save("xlsr2_1b_v2.pt", {"model": export_w2v2_raw(
+        wav2vec2_raw_init(key(8), x_cfg))})
+    rng = np.random.default_rng(0)
+    np.save(os.path.join(d, "kmeans_10k.npy"),
+            rng.standard_normal((10, x_cfg.model_dim)).astype(np.float32))
+    p_cfg = _selftest_pretssel_cfg()
+    save("pretssel_melhifigan_wm-16khz.pt",
+         {"model": export_pretssel(pretssel_init(key(9), p_cfg), p_cfg)})
+
+
+# ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
 
 class Ctx:
-    def __init__(self, ckpt_dir: str, dtype_name: str):
+    def __init__(self, ckpt_dir: str, dtype_name: str, *,
+                 selftest: bool = False):
         self.dir = ckpt_dir
         self.dtype_name = dtype_name
+        self.selftest = selftest
         self._cache: Dict[str, object] = {}
 
     def path(self, name: str) -> Optional[str]:
@@ -154,14 +320,18 @@ class Ctx:
         key = f"text_tok_{family}"
         if key in self._cache:
             return self._cache[key]
-        if family == "v2":
+        if self.selftest:
             (p,) = self.need("tokenizer.model")
-            card = load_card("seamlessM4T_v2_large")
+            langs = [f"__{l}__" for l in SELFTEST_LANGS]
+        elif family == "v2":
+            (p,) = self.need("tokenizer.model")
+            langs = [f"__{l}__" for l in load_card("seamlessM4T_v2_large")
+                     .get("langs", [])]
         else:
             p = self.path("tokenizer_nllb100.model") or \
                 self.need("tokenizer.model")[0]
-            card = load_card("unity_nllb-100")
-        langs = [f"__{l}__" for l in card.get("langs", [])]
+            langs = [f"__{l}__" for l in load_card("unity_nllb-100")
+                     .get("langs", [])]
         tok = NllbTokenizer(SentencePieceModel.from_file(p), langs=langs)
         self._cache[key] = tok
         return tok
@@ -194,8 +364,16 @@ class Ctx:
             ckpt, voc = "seamlessM4T_large.pt", "vocoder_36langs.pt"
             card_name = "seamlessM4T_large"
         (ckpt_p,) = self.need(ckpt)
-        card = load_card(card_name)
-        cfg = get_arch(card["model_arch"])
+        if self.selftest:
+            # v1 duplicates lang symbols x2 (+<mask>): 1 lang keeps the unit
+            # vocab within tiny_v1's 112
+            card = {"num_units": 100,
+                    "unit_langs": SELFTEST_LANGS if family == "v2" else ["eng"],
+                    "model_arch": "base_v2" if family == "v2" else "base"}
+            cfg = get_arch("tiny_v2" if family == "v2" else "tiny_v1")
+        else:
+            card = load_card(card_name)
+            cfg = get_arch(card["model_arch"])
 
         char_tok = None
         if family == "v2":
@@ -221,17 +399,25 @@ class Ctx:
         lang_spkr = card.get("lang_spkr_idx_map")
         if self.path(voc):
             voc_params = vocoder_tree_from_pt(load_pt_state_dict(self.path(voc)))
-            voc_cfg = CodeHifiGanConfig()
-            voc_card = load_card("vocoder_v2" if family == "v2"
-                                 else "vocoder_36langs")
-            lang_spkr = voc_card.get("lang_spkr_idx_map", lang_spkr)
+            if self.selftest:
+                voc_cfg = _selftest_voc_cfg()
+                lang_spkr = {
+                    "multilingual": {l: i for i, l in enumerate(SELFTEST_LANGS)},
+                    "multispkr": {l: [i] for i, l in enumerate(SELFTEST_LANGS)}}
+            else:
+                voc_cfg = CodeHifiGanConfig()
+                voc_card = load_card("vocoder_v2" if family == "v2"
+                                     else "vocoder_36langs")
+                lang_spkr = voc_card.get("lang_spkr_idx_map", lang_spkr)
         unit_tok = UnitTokenizer(card.get("num_units", 10000),
                                  card.get("unit_langs", []),
                                  card["model_arch"])
         tr = Translator(params, cfg, self.text_tokenizer(family), unit_tok,
                         char_tok,
                         vocoder_params=voc_params, vocoder_cfg=voc_cfg,
-                        lang_spkr_idx_map=lang_spkr)
+                        lang_spkr_idx_map=lang_spkr,
+                        text_opts=_selftest_text_opts() if self.selftest
+                        else None)
         self._cache[key] = tr
         return tr
 
@@ -240,14 +426,22 @@ class Ctx:
 
 def check_t2tt_v2(ctx: Ctx):
     tr = ctx.translator("v2")
-    texts, _ = tr.predict(ENG_SENTENCE, "t2tt", "deu", src_lang="eng")
+    src = _ST_TEXT if ctx.selftest else ENG_SENTENCE
+    texts, _ = tr.predict(src, "t2tt", "deu", src_lang="eng")
+    if ctx.selftest:
+        assert len(texts) == 1 and isinstance(texts[0], str)
+        return "t2tt executed end-to-end (selftest: anchor not checked)"
     assert texts[0] == DEU_SENTENCE_V2, f"got: {texts[0]!r}"
     return "exact German sentence match (v2)"
 
 
 def check_t2tt_v1(ctx: Ctx):
     tr = ctx.translator("v1")
-    texts, _ = tr.predict(ENG_SENTENCE, "t2tt", "deu", src_lang="eng")
+    src = _ST_TEXT if ctx.selftest else ENG_SENTENCE
+    texts, _ = tr.predict(src, "t2tt", "deu", src_lang="eng")
+    if ctx.selftest:
+        assert len(texts) == 1 and isinstance(texts[0], str)
+        return "t2tt executed end-to-end (selftest: anchor not checked)"
     assert texts[0] == DEU_SENTENCE, f"got: {texts[0]!r}"
     return "exact German sentence match (v1)"
 
@@ -255,19 +449,24 @@ def check_t2tt_v1(ctx: Ctx):
 def check_multiple_tasks_v2(ctx: Ctx):
     """t2st eng -> s2st spa -> asr spa round trip (test_translator.py:57-95)."""
     tr = ctx.translator("v2")
-    _, speech = tr.predict(ENG_HELLO, "t2st", "eng", src_lang="eng")
+    src = _ST_TEXT if ctx.selftest else ENG_HELLO
+    _, speech = tr.predict(src, "t2st", "eng", src_lang="eng")
     assert speech is not None and np.isfinite(speech.audio_wavs[0]).all()
     spa_text, spa_speech = tr.predict(np.asarray(speech.audio_wavs[0]),
                                       "s2st", "spa")
-    assert spa_text[0] == SPA_SENTENCE, f"got: {spa_text[0]!r}"
+    assert np.isfinite(spa_speech.audio_wavs[0]).all()
     asr_text, _ = tr.predict(np.asarray(spa_speech.audio_wavs[0]), "asr", "spa")
+    if ctx.selftest:
+        assert isinstance(spa_text[0], str) and isinstance(asr_text[0], str)
+        return "t2st/s2st/asr round trip executed (selftest)"
+    assert spa_text[0] == SPA_SENTENCE, f"got: {spa_text[0]!r}"
     assert asr_text[0] == SPA_SENTENCE, f"got: {asr_text[0]!r}"
     return "t2st/s2st/asr Spanish round trip matches"
 
 
 def check_conformer_shaw(ctx: Ctx):
     import jax.numpy as jnp
-    from seamless_communication_tpu.audio.fbank import fbank_jax
+    from seamless_communication_tpu.audio.fbank import fbank_numpy
     from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
         conformer_shaw_tree_from_pt, load_pt_state_dict,
     )
@@ -278,12 +477,19 @@ def check_conformer_shaw(ctx: Ctx):
     (p,) = ctx.need("conformer_shaw.pt")
     tree = conformer_shaw_tree_from_pt(load_pt_state_dict(p))
     wav = ctx.wav()
-    fb = fbank_jax(jnp.asarray(wav))[None]
+    fb = jnp.asarray(fbank_numpy(wav))[None]
     n_frames = jnp.array([fb.shape[1]], jnp.int32)
+    st_cfg = None
+    if ctx.selftest:
+        from seamless_communication_tpu.models.unity.builder import get_arch
+        st_cfg = get_arch("tiny_v2").speech
     out, out_lens = conformer_shaw_standalone_forward(
-        tree, jnp.asarray(fb, ctx.dtype()), n_frames)
+        tree, jnp.asarray(fb, ctx.dtype()), n_frames, st_cfg)
     arr = np.asarray(out[0, :int(out_lens[0])], np.float64)
     mean, std = round(float(arr.mean()), 4), round(float(arr.std(ddof=1)), 4)
+    if ctx.selftest:
+        assert np.isfinite(arr).all() and std > 0 and int(out_lens[0]) > 0
+        return f"encoder ran: mean/std {mean}/{std} finite (selftest)"
     assert (mean, std) == (CONFORMER_REF_MEAN, CONFORMER_REF_STD), \
         f"mean/std {mean}/{std} != {CONFORMER_REF_MEAN}/{CONFORMER_REF_STD}"
     return f"encoder mean/std {mean}/{std} match"
@@ -296,6 +502,21 @@ def check_aligner(ctx: Ctx):
     from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
     a_p, x_p, k_p, c_p = ctx.need("nar_t2u_aligner.pt", "xlsr2_1b_v2.pt",
                                   "kmeans_10k.npy", "spm_char_lang38_tc.model")
+    if ctx.selftest:
+        a_cfg, x_cfg = _selftest_aligner_cfgs()
+        extractor = AlignmentExtractor(
+            a_p, x_p, k_p, output_layer=2,
+            char_tokenizer=CharTokenizer.from_file(c_p),
+            aligner_cfg=a_cfg, xlsr_cfg=x_cfg)
+        # short clip: the tiny XLSR stack only downsamples 4x
+        durations, _ = extractor.extract_alignment(ctx.wav()[:3200],
+                                                   "the cat sat")
+        got = np.asarray(durations).reshape(-1)
+        n_units = len(extractor.extract_units(ctx.wav()[:3200]))
+        # MAS identity: the monotonic alignment spends every unit exactly once
+        assert int(got.sum()) == n_units and (got >= 0).all()
+        return (f"aligner ran: {got.size} durations sum to {n_units} units "
+                "(selftest MAS identity)")
     extractor = AlignmentExtractor(a_p, x_p, k_p, output_layer=35,
                                    char_tokenizer=CharTokenizer.from_file(c_p))
     durations, _ = extractor.extract_alignment(ctx.wav(), ALIGNER_REF_TEXT)
@@ -308,7 +529,7 @@ def check_aligner(ctx: Ctx):
 def check_pretssel(ctx: Ctx):
     import jax
     import jax.numpy as jnp
-    from seamless_communication_tpu.audio.fbank import fbank_jax
+    from seamless_communication_tpu.audio.fbank import fbank_numpy
     from seamless_communication_tpu.checkpoint.convert_fairseq2 import (
         load_pt_state_dict, pretssel_tree_from_pt,
     )
@@ -317,13 +538,13 @@ def check_pretssel(ctx: Ctx):
     )
 
     (p,) = ctx.need("pretssel_melhifigan_wm-16khz.pt")
-    cfg = pretssel_16khz_config()
+    cfg = _selftest_pretssel_cfg() if ctx.selftest else pretssel_16khz_config()
     params = pretssel_tree_from_pt(load_pt_state_dict(p), cfg)
     wav = ctx.wav()
-    fb = fbank_jax(jnp.asarray(wav))[None]
+    fb = jnp.asarray(fbank_numpy(wav))[None]
     rng = np.random.default_rng(0)
     U = 64
-    units = jnp.asarray(rng.integers(4, 10000, (1, U)), jnp.int32)
+    units = jnp.asarray(rng.integers(4, cfg.num_units, (1, U)), jnp.int32)
     durs = jnp.full((1, U), 2, jnp.int32)
     out = pretssel_forward(params, cfg, units, jnp.array([U]), durs,
                            fb.astype(ctx.dtype()), jnp.array([fb.shape[1]]),
@@ -372,8 +593,13 @@ def check_expressivity(ctx: Ctx):
     e_p, v_p, char_p = ctx.need("m2m_expressive_unity.pt",
                                 "pretssel_melhifigan_wm-16khz.pt",
                                 "spm_char_lang38_tc.model")
-    card = load_card("seamless_expressivity")
-    cfg = get_arch(card["model_arch"])
+    if ctx.selftest:
+        card = {"num_units": 100, "unit_langs": SELFTEST_LANGS,
+                "model_arch": "base_v2"}
+        cfg = get_arch("tiny_expressive")
+    else:
+        card = load_card("seamless_expressivity")
+        cfg = get_arch(card["model_arch"])
     char_tok = CharTokenizer.from_file(char_p)
 
     sd = load_pt_state_dict(e_p)
@@ -385,15 +611,22 @@ def check_expressivity(ctx: Ctx):
                           unity_tree_from_fairseq2(sd, v2=True))
     assert "prosody_encoder" in params, "ECAPA prosody encoder missing"
 
-    voc_cfg = pretssel_16khz_config()
+    if ctx.selftest:
+        voc_cfg = _selftest_pretssel_cfg()
+        gcmvn_mean, gcmvn_std = np.zeros(80), np.ones(80)
+        langs = SELFTEST_LANGS
+    else:
+        voc_cfg = pretssel_16khz_config()
+        voc_card = load_card("vocoder_pretssel_16khz")
+        mc = voc_card.get("model_config") or {}
+        gcmvn_mean = np.asarray(mc.get("gcmvn_stats", {}).get("mean",
+                                                              np.zeros(80)))
+        gcmvn_std = np.asarray(mc.get("gcmvn_stats", {}).get("std",
+                                                             np.ones(80)))
+        langs = mc.get("langs", [])
     voc_params = jax.tree.map(
         lambda a: jnp.asarray(a, ctx.dtype()),
         pretssel_tree_from_pt(load_pt_state_dict(v_p), voc_cfg))
-    voc_card = load_card("vocoder_pretssel_16khz")
-    mc = voc_card.get("model_config") or {}
-    gcmvn_mean = np.asarray(mc.get("gcmvn_stats", {}).get("mean", np.zeros(80)))
-    gcmvn_std = np.asarray(mc.get("gcmvn_stats", {}).get("std", np.ones(80)))
-    langs = mc.get("langs", [])
     generator = PretsselGenerator(
         voc_params, voc_cfg,
         lang_to_index={l: i for i, l in enumerate(langs)})
@@ -401,17 +634,22 @@ def check_expressivity(ctx: Ctx):
     unit_tok = UnitTokenizer(card.get("num_units", 10000),
                              card.get("unit_langs", []), card["model_arch"])
     tr = Translator(params, cfg, ctx.text_tokenizer("nllb100"), unit_tok,
-                    char_tok)
+                    char_tok,
+                    text_opts=_selftest_text_opts() if ctx.selftest else None)
     wav = ctx.wav()
     fbank = fbank_numpy(wav)
     gcmvn = ((fbank - gcmvn_mean[None]) / gcmvn_std[None]).astype(np.float32)
     texts, speech = tr.predict(wav, "s2st", "fra",
                                duration_factor=1.0,
                                prosody_encoder_input=gcmvn)
-    assert texts and texts[0], "no translated text"
     wavs = generator.predict(speech.units, "fra", gcmvn[None],
                              np.array([gcmvn.shape[0]]), duration_factor=1.0)
     w = np.asarray(wavs[0], np.float32)
+    if ctx.selftest:
+        assert isinstance(texts[0], str) and np.isfinite(w).all()
+        return (f"expressive S2ST executed (selftest): "
+                f"{len(speech.units[0])} units, {w.size} samples")
+    assert texts and texts[0], "no translated text"
     assert w.size and np.isfinite(w).all() and float(np.abs(w).max()) > 1e-4
     return f"expressive S2ST: text={texts[0][:60]!r}, {w.size} samples"
 
@@ -438,8 +676,11 @@ def check_streaming(ctx: Ctx):
 
     u_p, m_p = ctx.need("seamless_streaming_unity.pt",
                         "seamless_streaming_monotonic_decoder.pt")
-    card = load_card("seamless_streaming_unity")
-    cfg = get_arch(card["model_arch"])
+    if ctx.selftest:
+        cfg = get_arch("tiny_v2")
+    else:
+        card = load_card("seamless_streaming_unity")
+        cfg = get_arch(card["model_arch"])
     sd = load_pt_state_dict(u_p)
     if any(k.startswith("encoder.w2v_encoder") or ".w2v_model." in k
            for k in sd):
@@ -450,10 +691,17 @@ def check_streaming(ctx: Ctx):
     mono_params = jax.tree.map(
         lambda a: jnp.asarray(a, ctx.dtype()),
         monotonic_tree_from_pt(load_pt_state_dict(m_p)))
-    mono_cfg = MonotonicDecoderConfig()  # dense_1b defaults
+    if ctx.selftest:
+        mono_cfg = _selftest_mono_cfg()
+        kw = dict(min_starting_wait_w2vbert=16, decision_threshold=0.4,
+                  max_len_b=12, max_consecutive_writes=6)
+    else:
+        mono_cfg = MonotonicDecoderConfig()  # dense_1b defaults
+        kw = {}
 
     pipe = build_s2t_pipeline(params, cfg, mono_params, mono_cfg,
-                              ctx.text_tokenizer("nllb100"), tgt_lang="eng")
+                              ctx.text_tokenizer("nllb100"), tgt_lang="eng",
+                              **kw)
     session = StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng")
     parts = []
     finished = False
@@ -463,6 +711,8 @@ def check_streaming(ctx: Ctx):
         finished = finished or seg.finished
     text = " ".join(parts).strip()
     assert finished, "pipeline did not finish"
+    if ctx.selftest:
+        return f"streaming pipeline ran to finish (selftest), text={text[:60]!r}"
     assert text, "no streaming text emitted"
     return f"streaming ASR-style S2T emitted: {text[:120]!r}"
 
@@ -479,7 +729,7 @@ CHECKS: List[tuple] = [
 ]
 
 
-def main() -> int:
+def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--only", nargs="*", default=None,
@@ -488,9 +738,25 @@ def main() -> int:
                     choices=["float32", "bfloat16"],
                     help="float32 matches the reference fp32 anchors")
     ap.add_argument("--report", default=None, help="write JSON report here")
-    args = ap.parse_args()
+    ap.add_argument("--selftest", action="store_true",
+                    help="generate synthetic tiny-dim fairseq-keyed "
+                         "checkpoints into --checkpoint-dir and run every "
+                         "check with structural assertions instead of golden "
+                         "anchors (CI backstop for the harness plumbing)")
+    args = ap.parse_args(argv)
 
-    ctx = Ctx(args.checkpoint_dir, args.dtype)
+    if args.selftest:
+        # tiny deterministic models: run on CPU (and never contend for the
+        # one real TPU chip). sitecustomize pre-imports jax on the axon
+        # platform, so set the config, not the env var.
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        make_selftest_dir(args.checkpoint_dir)
+
+    ctx = Ctx(args.checkpoint_dir, args.dtype, selftest=args.selftest)
     results = {}
     for name, fn in CHECKS:
         if args.only and name not in args.only:
@@ -517,6 +783,8 @@ def main() -> int:
     if args.report:
         with open(args.report, "w") as f:
             json.dump(results, f, indent=2)
+    if args.selftest and any(r["status"] != "PASS" for r in results.values()):
+        return 1   # in selftest every family must execute (SKIP = missing gen)
     return 1 if n_fail else 0
 
 

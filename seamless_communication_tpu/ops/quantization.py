@@ -15,6 +15,7 @@ projection uses the same table transposed).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -182,16 +183,23 @@ DEFAULT_QUANT_SUFFIXES = ("q_proj", "k_proj", "v_proj", "output_proj",
 def quantize_params(params, *, include: Sequence[str] = DEFAULT_QUANT_SUFFIXES,
                     min_size: int = 1 << 16,
                     predicate: Optional[Callable] = None,
-                    bits: int = 8):
+                    bits: int = 8, int4_group: int = INT4_GROUP):
     """Rewrite large linear weights to int8 (default) or group-int4 in a
     param pytree.
 
     ``predicate(path_list, leaf)`` overrides the default rule (parent-name suffix
     match + minimum element count). Layer-stacked weights (leading L axis) quantize
     with per-(layer, column) scales (per (layer, group, column) at 4 bits).
+
+    ``int4_group``: rows per int4 scale group. Pass a huge value (or 0) for
+    PER-COLUMN int4 scales — one scale group spanning the whole input dim, so
+    every linear/projection stays a single int4-operand matmul exactly like
+    the int8 path. Lossier than group-128 (absmax over the full column); perf
+    numbers for both modes in docs/performance.md.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    int4_group = int4_group or (1 << 30)
 
     def default_pred(path, leaf):
         if not path or path[-1] != "weight":
@@ -215,7 +223,7 @@ def quantize_params(params, *, include: Sequence[str] = DEFAULT_QUANT_SUFFIXES,
                 if (k == "embedding" and hasattr(v, "size")
                         and v.size >= min_size and v.ndim == 2):
                     if bits == 4:
-                        q, s = quantize_embedding_int4(v)
+                        q, s = quantize_embedding_int4(v, group=int4_group)
                         out["embedding_i4"] = q
                         out["row_scale4"] = s
                     else:
@@ -224,7 +232,8 @@ def quantize_params(params, *, include: Sequence[str] = DEFAULT_QUANT_SUFFIXES,
                         out["row_scale"] = s
                 elif k == "weight" and pred(path + [k], v):
                     w = jnp.asarray(v, jnp.float32)
-                    qfn = quantize_weight_int4 if bits == 4 else quantize_weight
+                    qfn = (partial(quantize_weight_int4, group=int4_group)
+                           if bits == 4 else quantize_weight)
                     if w.ndim == 2:
                         q, s = qfn(w)
                     else:  # (L, in, out) scan-stacked
@@ -244,12 +253,18 @@ def quantize_params(params, *, include: Sequence[str] = DEFAULT_QUANT_SUFFIXES,
 
 
 def quantization_report(params) -> dict:
-    """Byte counts before/after for visibility."""
+    """Byte counts before/after for visibility. Tied/aliased subtrees (e.g.
+    the shared NLLB embedding quantize_params keeps as one object) count
+    once, mirroring quantize_params's ``seen`` dedup."""
     total = quant = 0
+    seen: set = set()
 
     def walk(node):
         nonlocal total, quant
         if isinstance(node, dict):
+            if id(node) in seen:
+                return
+            seen.add(id(node))
             for k, v in node.items():
                 if k in ("weight_i8", "embedding_i8"):
                     quant += v.size

@@ -270,3 +270,32 @@ def test_int4_unity_decode_close_to_fp():
     agree = float(np.mean(ref.argmax(-1) == got.argmax(-1)))
     assert agree >= 0.6, agree
     assert np.isfinite(got).all()
+
+
+def test_int4_per_column_mode():
+    """quantize_params(bits=4, int4_group=0): PER-COLUMN int4 scales — one
+    scale group spanning the whole input dim, so every linear stays a single
+    int4-operand matmul (the fast serving mode: measured 2.51 vs int8's 2.76
+    ms/step on the v2-large beam decode, where group-128's per-group einsums
+    measured 3.92 — docs/performance.md). Coarser than group-128: pin the
+    error band and that dispatch still goes through the i4 path."""
+    from seamless_communication_tpu.ops.modules import linear
+    from seamless_communication_tpu.ops.quantization import quantize_params
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (512, 256)) * 0.02
+    params = {"inner_proj": {"weight": w}}
+    qp = quantize_params(params, bits=4, int4_group=0)
+    assert qp["inner_proj"]["weight_i4"].dtype == jnp.int4
+    assert qp["inner_proj"]["scale4"].shape == (1, 256)   # one group
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 512))
+    y_ref = x @ w
+    y_q = linear(qp["inner_proj"], x)
+    rms = float(jnp.sqrt(jnp.mean((y_q - y_ref) ** 2))
+                / (jnp.sqrt(jnp.mean(y_ref ** 2)) + 1e-9))
+    # whole-column absmax at 4 bits: coarser than group-128 but same order on
+    # Gaussian weights (the absmax grows only ~sqrt(2 log n) with group size)
+    assert rms < 0.2, rms
+
+    # group-128 remains the default
+    qp128 = quantize_params(params, bits=4)
+    assert qp128["inner_proj"]["scale4"].shape == (4, 256)
