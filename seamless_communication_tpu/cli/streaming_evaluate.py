@@ -45,6 +45,14 @@ def main() -> None:
     parser.add_argument("--local-hf-path", type=str, default=None)
     parser.add_argument("--gated-model-dir", type=str, default=None,
                         help="dir with gated checkpoints (m2m_expressive_unity.pt, pretssel_melhifigan_wm*.pt); sets SEAMLESS_GATED_ASSETS")
+    parser.add_argument("--no-strip-silence", action="store_true",
+                        help="keep leading/trailing silence. By default each "
+                             "utterance is VAD-trimmed to [first speech, last "
+                             "speech) before evaluation, matching the "
+                             "reference streaming dataloader (s2tt.py:48-81)")
+    parser.add_argument("--silero-model", type=str, default=None,
+                        help="TorchScript silero-vad model path for the "
+                             "silence stripper (default: built-in energy VAD)")
     args = parser.parse_args()
     if args.gated_model_dir:
         import os
@@ -65,11 +73,23 @@ def main() -> None:
     # original EMMA .pt (fairseq1 keyed) converts in load_monotonic_decoder
     mono_params, mono_cfg = load_monotonic_decoder(args.monotonic_name)
 
+    stripper = None
+    if not args.no_strip_silence:
+        from seamless_communication_tpu.segment.vad import (
+            make_silero_probs_fn, strip_silence,
+        )
+        probs_fn = (make_silero_probs_fn(args.silero_model)
+                    if args.silero_model else None)
+        stripper = lambda w: strip_silence(w, probs_fn=probs_fn)
+        print("stripping leading/trailing silence from each utterance "
+              "(--no-strip-silence to keep)")
+
     wavs, refs = [], []
     with open(args.data_file) as f:
         for row in csv.DictReader(f, delimiter="\t"):
             w, sr = read_wav(str(Path(args.audio_root_dir) / row["audio"]))
-            wavs.append(resample(w, sr, 16000))
+            w = resample(w, sr, 16000)
+            wavs.append(stripper(w) if stripper is not None else w)
             refs.append(row.get("tgt_text", ""))
 
 

@@ -133,3 +133,22 @@ class VADSegmenter:
         if root.duration > 0:
             self._recursive_split(root, segments, max_len, min_len)
         return [(int(s.start), int(s.end)) for s in segments]
+
+
+def strip_silence(waveform: np.ndarray, *, window_size: int = 512,
+                  threshold: float = 0.5,
+                  probs_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
+                  ) -> np.ndarray:
+    """Remove leading/trailing silence from one utterance: keep
+    [first speech window start, last speech window end) — the streaming
+    dataloader's default preprocessing (reference
+    streaming/dataloaders/s2tt.py:48-81 SileroVADSilenceRemover: first
+    timestamp's start to last timestamp's end; the full waveform when no
+    speech is detected). ``probs_fn`` plugs in the real silero model
+    (make_silero_probs_fn); default is the dependency-free energy VAD."""
+    waveform = np.asarray(waveform, np.float32)
+    probs = (probs_fn or (lambda w: energy_vad_probs(w, window_size)))(waveform)
+    idx = np.where(np.asarray(probs) >= threshold)[0]
+    if len(idx) == 0:
+        return waveform
+    return waveform[int(idx[0]) * window_size:int(idx[-1] + 1) * window_size]

@@ -335,3 +335,29 @@ def test_load_etox_checker_from_dir(tmp_path):
     assert checker.get_bad_words("a badword here", "eng") == ["badword"]
     assert checker.get_bad_words("clean text", "eng") == []
     assert "mauvais" in checker.bad_words["fra"]
+
+
+def test_strip_silence():
+    """Dataloader silence removal (reference streaming/dataloaders/s2tt.py:48-81):
+    leading/trailing silence is trimmed to [first speech, last speech); pure
+    silence (no window over threshold) returns the waveform unchanged."""
+    from seamless_communication_tpu.segment.vad import strip_silence
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    silence = rng.normal(0, 1e-4, sr).astype(np.float32)          # 1 s hiss
+    speech = (0.3 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)
+              * (1 + 0.5 * np.sin(2 * np.pi * 3 * np.arange(2 * sr) / sr))
+              ).astype(np.float32)                                 # 2 s tone
+    wav = np.concatenate([silence, speech, silence])
+
+    out = strip_silence(wav)
+    # trimmed to roughly the speech span (window-size granularity)
+    assert len(out) < len(wav) - sr        # dropped most of the 2 s of silence
+    assert len(out) >= len(speech) - 2048  # kept the speech
+    # the retained audio is the loud part
+    assert np.abs(out).mean() > 1.5 * np.abs(wav).mean()
+
+    # no speech at all -> unchanged (reference: empty timestamps -> full list)
+    flat = rng.normal(0, 1e-5, sr).astype(np.float32)
+    np.testing.assert_array_equal(strip_silence(flat), flat)
