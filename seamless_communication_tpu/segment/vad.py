@@ -145,9 +145,20 @@ def strip_silence(waveform: np.ndarray, *, window_size: int = 512,
     streaming/dataloaders/s2tt.py:48-81 SileroVADSilenceRemover: first
     timestamp's start to last timestamp's end; the full waveform when no
     speech is detected). ``probs_fn`` plugs in the real silero model
-    (make_silero_probs_fn); default is the dependency-free energy VAD."""
+    (make_silero_probs_fn); default is the dependency-free energy VAD, gated
+    by an absolute rms floor so silence-only input is returned unchanged (the
+    percentile-normalized energy probs are otherwise relative and would mark
+    "speech" in any input)."""
     waveform = np.asarray(waveform, np.float32)
-    probs = (probs_fn or (lambda w: energy_vad_probs(w, window_size)))(waveform)
+    if probs_fn is None:
+        probs = energy_vad_probs(waveform, window_size)
+        n = len(waveform) // window_size
+        if n:
+            frames = waveform[:n * window_size].reshape(n, window_size)
+            rms = np.sqrt(np.mean(frames ** 2, axis=1))
+            probs = np.where(rms >= 5e-4, probs, 0.0)
+    else:
+        probs = probs_fn(waveform)
     idx = np.where(np.asarray(probs) >= threshold)[0]
     if len(idx) == 0:
         return waveform
