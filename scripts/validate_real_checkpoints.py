@@ -143,7 +143,7 @@ def _selftest_pretssel_cfg():
         num_units=112, model_dim=32, num_heads=2, ffn_inner_dim=64,
         conv_kernel_size=5, num_encoder_layers=1, num_decoder_layers=1,
         num_langs=4, lang_embed_dim=8, prosody_dim=16, pn_conv_dim=16,
-        pn_layers=2, pn_kernel_size=5, dur_predictor_hidden=16,
+        pn_layers=2, pn_kernel_size=5, var_pred_hidden=16,
         hifigan=HifiGanConfig(model_in_dim=80, upsample_initial_channel=32,
                               upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
                               resblock_kernel_sizes=(3,),

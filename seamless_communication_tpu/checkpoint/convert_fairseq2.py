@@ -774,7 +774,9 @@ def ecapa_tree_from_fairseq2(sd: Mapping[str, np.ndarray], *,
 
 def _fft_layers_tree(sd, prefix: str) -> tuple:
     """FeedForwardTransformer: layers.N.{self_attn, self_attn_layer_norm,
-    conv1d.conv1/conv2, conv1d_layer_norm, film} + layer_norm."""
+    conv1d.conv1/conv2, conv1d_layer_norm, film} (+ final layer_norm only for
+    norm_order PRE — the NAR T2U; PRETSSEL builds with POST and has none,
+    reference generator/builder.py:304 vs t2u_builder.py:645)."""
     n = _num_layers(sd, rf"{re.escape(prefix)}\.layers\.([0-9]+)\.")
     layers = []
     for i in range(n):
@@ -789,7 +791,9 @@ def _fft_layers_tree(sd, prefix: str) -> tuple:
         if f"{p}.film.proj.weight" in sd:
             lp["film"] = _film(sd, f"{p}.film")
         layers.append(lp)
-    return layers, _ln(sd, f"{prefix}.layer_norm")
+    norm = (_ln(sd, f"{prefix}.layer_norm")
+            if f"{prefix}.layer_norm.weight" in sd else None)
+    return layers, norm
 
 
 def _variance_predictor_tree(sd, prefix: str) -> dict:
@@ -913,7 +917,9 @@ def pretssel_tree_from_pt(sd: Mapping[str, np.ndarray], cfg) -> dict:
 
     enc_layers, enc_norm = _fft_layers_tree(sd, "encoder")
     dec_layers, dec_norm = _fft_layers_tree(sd, "decoder")
-    vp = "decoder_frontend.variance_adaptor.duration_predictor"
+    # variance adaptor: NO duration predictor (generator/builder.py:392-403);
+    # pitch/vuv/energy predictors + 1x1-conv embeds
+    va = "decoder_frontend.variance_adaptor"
     params = {
         "prosody_encoder": ecapa_tree_from_fairseq2(
             sd, prefix="encoder_frontend.prosody_encoder"),
@@ -922,10 +928,13 @@ def pretssel_tree_from_pt(sd: Mapping[str, np.ndarray], cfg) -> dict:
         "pos_emb_alpha_enc": np.asarray(sd["encoder_frontend.pos_emb_alpha"]),
         "pos_emb_alpha_dec": np.asarray(sd["decoder_frontend.pos_emb_alpha"]),
         "encoder_layers": enc_layers,
-        "encoder_norm": enc_norm,
-        "duration_predictor": _variance_predictor_tree(sd, vp),
+        "pitch_predictor": _variance_predictor_tree(sd, f"{va}.pitch_predictor"),
+        "embed_pitch": _conv(sd, f"{va}.embed_pitch"),
+        "vuv_predictor": _variance_predictor_tree(sd, f"{va}.vuv_predictor"),
+        "energy_predictor": _variance_predictor_tree(
+            sd, f"{va}.energy_predictor"),
+        "embed_energy": _conv(sd, f"{va}.embed_energy"),
         "decoder_layers": dec_layers,
-        "decoder_norm": dec_norm,
         "final_proj": _linear(sd, "final_proj"),
         "postnet": postnet,
         "hifigan": hifigan,

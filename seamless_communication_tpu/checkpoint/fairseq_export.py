@@ -265,9 +265,10 @@ def export_pretssel(params: dict, cfg) -> dict:
     _x_embed(sd, "encoder_frontend.embed_lang", params["embed_lang"])
     sd["encoder_frontend.pos_emb_alpha"] = _t(params["pos_emb_alpha_enc"])
     sd["decoder_frontend.pos_emb_alpha"] = _t(params["pos_emb_alpha_dec"])
-    for name, layers, norm in (
-            ("encoder", params["encoder_layers"], params["encoder_norm"]),
-            ("decoder", params["decoder_layers"], params["decoder_norm"])):
+    # norm_order POST: the reference PRETSSEL FFT stacks carry NO final
+    # layer_norm (generator/builder.py:304)
+    for name, layers in (("encoder", params["encoder_layers"]),
+                         ("decoder", params["decoder_layers"])):
         for i, lp in enumerate(layers):
             p = f"{name}.layers.{i}"
             _x_mha(sd, f"{p}.self_attn", lp["self_attn"])
@@ -276,15 +277,19 @@ def export_pretssel(params: dict, cfg) -> dict:
             _x_conv(sd, f"{p}.conv1d.conv2", lp["conv2"])
             _x_ln(sd, f"{p}.conv1d_layer_norm", lp["conv_layer_norm"])
             _x_film(sd, f"{p}.film", lp["film"])
-        _x_ln(sd, f"{name}.layer_norm", norm)
-    vp = "decoder_frontend.variance_adaptor.duration_predictor"
-    dp = params["duration_predictor"]
-    _x_conv(sd, f"{vp}.conv1.0", dp["conv1"])
-    _x_ln(sd, f"{vp}.ln1", dp["ln1"])
-    _x_conv(sd, f"{vp}.conv2.0", dp["conv2"])
-    _x_ln(sd, f"{vp}.ln2", dp["ln2"])
-    _x_lin(sd, f"{vp}.proj", dp["proj"])
-    _x_film(sd, f"{vp}.film", dp["film"])
+    # variance adaptor: pitch/vuv/energy predictors + 1x1-conv embeds (no
+    # duration predictor — reference generator/builder.py:392-403)
+    va = "decoder_frontend.variance_adaptor"
+    for name in ("pitch_predictor", "vuv_predictor", "energy_predictor"):
+        vp, dp = f"{va}.{name}", params[name]
+        _x_conv(sd, f"{vp}.conv1.0", dp["conv1"])
+        _x_ln(sd, f"{vp}.ln1", dp["ln1"])
+        _x_conv(sd, f"{vp}.conv2.0", dp["conv2"])
+        _x_ln(sd, f"{vp}.ln2", dp["ln2"])
+        _x_lin(sd, f"{vp}.proj", dp["proj"])
+        _x_film(sd, f"{vp}.film", dp["film"])
+    _x_conv(sd, f"{va}.embed_pitch", params["embed_pitch"])
+    _x_conv(sd, f"{va}.embed_energy", params["embed_energy"])
     _x_lin(sd, "final_proj", params["final_proj"])
     sd["mean"] = _t(params["mean"])
     sd["scale"] = _t(params["scale"])

@@ -44,7 +44,12 @@ class PretsselGenerator:
                 prosody_fbank: np.ndarray, prosody_lens: np.ndarray, *,
                 duration_factor: float = 1.0) -> List[np.ndarray]:
         """units are raw ids; +4 control offset applied here
-        (reference pretssel_vocoder agent: unit+4; EOS gets duration 0)."""
+        (reference pretssel_vocoder agent: unit+4; EOS gets duration 0).
+
+        ``duration_factor`` is accepted for API parity but is a NO-OP, exactly
+        as in the reference: PRETSSEL's variance adaptor has no duration
+        predictor, so provided durations pass through unchanged and the
+        expressive CLI's factor acts in the NAR T2U predictor upstream."""
         lang_id = self.lang_to_index.get(tgt_lang, 0)
         wavs = []
         for b, units in enumerate(units_batch):

@@ -4,7 +4,8 @@ SURVEY.md §7 flags the original indexing as spaghetti; the computation is:)
 
   units -> embed + alpha*sinpos ----------------------------+
   prosody fbank -> ECAPA ++ lang embed = FiLM cond ---------+--> FFT encoder (FiLM)
-     -> variance adaptor (PROVIDED durations x factor) + alpha*sinpos
+     -> variance adaptor: + pitch(vuv-gated) & energy embeds (parallel),
+        GAUSSIAN upsample by PROVIDED durations, + alpha*sinpos
      -> FFT decoder (FiLM) -> mel proj (80) -> + PostNet (5 tanh convs)
      -> gcmvn denormalize -> per-sample (x - mean)/scale
      -> HiFi-GAN (conv_pre/upsample/resblocks/conv_post) = skip waveform
@@ -29,7 +30,7 @@ from seamless_communication_tpu.models.pretssel.streamable import (
 )
 from seamless_communication_tpu.models.unity.t2u import (
     NarT2UConfig, fft_layer, fft_layer_init, _alpha_sin_pos,
-    variance_predictor, variance_predictor_init, durations_from_log,
+    variance_predictor, variance_predictor_init,
 )
 from seamless_communication_tpu.models.vocoder.hifigan import (
     HifiGanConfig, hifigan_init,
@@ -37,10 +38,9 @@ from seamless_communication_tpu.models.vocoder.hifigan import (
 from seamless_communication_tpu.models.vocoder import hifigan as hifigan_mod
 from seamless_communication_tpu.ops.masks import lengths_to_padding_mask, padding_bias
 from seamless_communication_tpu.ops.modules import (
-    conv1d, conv1d_init, embedding, embedding_init, layer_norm, layer_norm_init,
-    linear, linear_init,
+    conv1d, conv1d_init, embedding, embedding_init, linear, linear_init,
 )
-from seamless_communication_tpu.ops.upsample import hard_upsample
+from seamless_communication_tpu.ops.upsample import gaussian_upsample
 
 
 class PretsselConfig(NamedTuple):
@@ -58,8 +58,11 @@ class PretsselConfig(NamedTuple):
     pn_conv_dim: int = 512
     pn_layers: int = 5
     pn_kernel_size: int = 5
-    dur_predictor_hidden: int = 256
-    dur_predictor_kernel: int = 3
+    # variance adaptor (reference generator/builder.py:140-151: NO duration
+    # predictor — durations are always provided; pitch/vuv/energy predictors
+    # at hidden 512, kernel 5, FiLM-conditioned, added in parallel)
+    var_pred_hidden: int = 512
+    var_pred_kernel: int = 5
     hifigan: HifiGanConfig = HifiGanConfig(
         model_in_dim=80, upsample_rates=(5, 4, 4, 2),
         upsample_kernel_sizes=(10, 8, 8, 4), upsample_initial_channel=512,
@@ -108,12 +111,21 @@ def pretssel_init(key: jax.Array, cfg: PretsselConfig, *, dtype=jnp.float32) -> 
         "pos_emb_alpha_enc": jnp.ones((1,), dtype),
         "pos_emb_alpha_dec": jnp.ones((1,), dtype),
         "encoder_layers": [p for p in enc_layers],
-        "encoder_norm": layer_norm_init(cfg.model_dim, dtype=dtype),
-        "duration_predictor": variance_predictor_init(
-            next(ks), cfg.model_dim, cfg.dur_predictor_hidden,
-            cfg.dur_predictor_kernel, film_cond_dim=cfg.cond_dim, dtype=dtype),
+        # variance adaptor: pitch (vuv-gated) + energy predictors, embedded by
+        # 1x1 convs and added in parallel (reference builder.py:347-403 builds
+        # the adaptor with duration_predictor=None — durations are provided)
+        "pitch_predictor": variance_predictor_init(
+            next(ks), cfg.model_dim, cfg.var_pred_hidden, cfg.var_pred_kernel,
+            film_cond_dim=cfg.cond_dim, dtype=dtype),
+        "embed_pitch": conv1d_init(next(ks), 1, cfg.model_dim, 1, dtype=dtype),
+        "vuv_predictor": variance_predictor_init(
+            next(ks), cfg.model_dim, cfg.var_pred_hidden, cfg.var_pred_kernel,
+            film_cond_dim=cfg.cond_dim, dtype=dtype),
+        "energy_predictor": variance_predictor_init(
+            next(ks), cfg.model_dim, cfg.var_pred_hidden, cfg.var_pred_kernel,
+            film_cond_dim=cfg.cond_dim, dtype=dtype),
+        "embed_energy": conv1d_init(next(ks), 1, cfg.model_dim, 1, dtype=dtype),
         "decoder_layers": [p for p in dec_layers],
-        "decoder_norm": layer_norm_init(cfg.model_dim, dtype=dtype),
         "final_proj": linear_init(next(ks), cfg.model_dim, cfg.mel_dim, dtype=dtype),
         "postnet": pn,
         "hifigan": hifigan_init(next(ks), cfg.hifigan, dtype=dtype),
@@ -171,19 +183,62 @@ def pretssel_forward(params: dict, cfg: PretsselConfig, units: jax.Array,
     lang = embedding(params["embed_lang"], lang_id)[:, None, :]
     cond = jnp.concatenate([prosody, lang], axis=-1)                 # (B,1,576)
 
+    del duration_factor  # reference parity: NO-OP for provided durations
+    mel, mel_total, mmask = pretssel_premel(params, cfg, units, unit_lengths,
+                                            durations, cond,
+                                            max_mel_len=max_mel_len)
+    mel, wav = pretssel_wave_synth(params, cfg, mel, mmask,
+                                   normalize_before=normalize_before)
+    return PretsselOutput(wav, mel_total * cfg.hifigan.total_upsample, mel)
+
+
+def pretssel_premel(params: dict, cfg: PretsselConfig, units: jax.Array,
+                    unit_lengths: jax.Array, durations: jax.Array,
+                    cond: jax.Array, *, max_mel_len: int):
+    """Pre-mel half of the PRETSSEL vocoder (reference generator/vocoder.py
+    forward :496-513 composition):
+
+      embed + alpha*sinpos -> FFT encoder (FiLM, POST order: no final norm)
+      -> variance adaptor: + pitch(vuv-gated)/energy 1x1-conv embeds (parallel),
+         gaussian upsample by PROVIDED durations -> + alpha*sinpos
+      -> FFT decoder (FiLM) -> final_proj mel
+
+    ``cond`` is the (B, 1, cond_dim) FiLM embedding (ECAPA prosody ++ lang).
+    Returns (mel (B, max_mel_len, mel_dim), mel_total (B,), mel mask).
+    Composition pinned by the from-spec torch oracle in
+    tests/unit/test_pretssel_oracle.py (order perturbations fail it)."""
+    fft = cfg.fft_cfg()
+    U = units.shape[1]
+
     # encoder
     x = embedding(params["embed_tokens"], units)
     x = _alpha_sin_pos(x, params["pos_emb_alpha_enc"], cfg.pos_pad_idx)
     umask = lengths_to_padding_mask(unit_lengths, U)
     bias = padding_bias(umask)
+    # norm_order POST: no final layer norm (reference generator/builder.py:304)
     for lp in params["encoder_layers"]:
         x = fft_layer(lp, x, bias, umask, fft, cond=cond)
-    x = layer_norm(params["encoder_norm"], x)
 
-    # variance adaptor with provided durations (duration_factor applied)
-    dur = jnp.round(durations.astype(jnp.float32) * duration_factor).astype(jnp.int32)
-    dur = jnp.where(umask, dur, 0)
-    x, mel_total = hard_upsample(x, dur, max_mel_len)
+    # variance adaptor (reference length_regulator.py:275-321, built with
+    # duration_predictor=None — builder.py:392-403): pitch is vuv-gated, pitch
+    # and energy embeddings are added in PARALLEL (add_variance_parallel=True),
+    # both computed from the pre-addition hidden states. Provided durations
+    # pass through unchanged (duration_factor only applies to PREDICTED
+    # durations in the reference; the expressive CLI's factor acts in the NAR
+    # T2U duration predictor upstream, never here).
+    pitch = variance_predictor(params["pitch_predictor"], x, umask, cond=cond)
+    vuv = variance_predictor(params["vuv_predictor"], x, umask, cond=cond)
+    pitch = pitch * (jax.nn.sigmoid(vuv) >= 0.5).astype(pitch.dtype)
+    pitch_emb = conv1d(params["embed_pitch"], pitch[..., None].astype(x.dtype))
+    energy = variance_predictor(params["energy_predictor"], x, umask, cond=cond)
+    energy_emb = conv1d(params["embed_energy"], energy[..., None].astype(x.dtype))
+    x = x + pitch_emb + energy_emb
+
+    # gaussian upsampling with provided durations (upsampling_type="gaussian",
+    # builder.py:149; masked by the SOURCE padding mask so the duration-0
+    # expressive EOS unit is still attended, exactly as the reference)
+    dur = jnp.where(umask, durations.astype(jnp.int32), 0)
+    x, mel_total = gaussian_upsample(x, dur, max_mel_len, src_mask=umask)
     mel_total = jnp.minimum(mel_total, max_mel_len)
     x = _alpha_sin_pos(x, params["pos_emb_alpha_dec"], cfg.pos_pad_idx)
 
@@ -191,12 +246,8 @@ def pretssel_forward(params: dict, cfg: PretsselConfig, units: jax.Array,
     mbias = padding_bias(mmask)
     for lp in params["decoder_layers"]:
         x = fft_layer(lp, x, mbias, mmask, fft, cond=cond)
-    x = layer_norm(params["decoder_norm"], x)
     mel = linear(params["final_proj"], x)                            # (B,T,80)
-
-    mel, wav = pretssel_wave_synth(params, cfg, mel, mmask,
-                                   normalize_before=normalize_before)
-    return PretsselOutput(wav, mel_total * cfg.hifigan.total_upsample, mel)
+    return mel, mel_total, mmask
 
 
 def pretssel_wave_synth(params: dict, cfg: PretsselConfig, mel: jax.Array,

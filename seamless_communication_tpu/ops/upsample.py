@@ -44,17 +44,28 @@ def hard_upsample_ids(ids: jax.Array, durations: jax.Array, max_out_len: int,
 
 
 def gaussian_upsample(x: jax.Array, durations: jax.Array, max_out_len: int, *,
-                      temperature: float = 1.0) -> tuple[jax.Array, jax.Array]:
+                      delta: float = 0.1,
+                      src_mask: jax.Array | None = None
+                      ) -> tuple[jax.Array, jax.Array]:
     """Soft attention upsampling (reference GaussianUpsampling,
-    length_regulator.py:42-96): out_j = sum_i softmax_i(-(j - c_i)^2 / t) x_i with
-    c_i the duration midpoints."""
-    ends = jnp.cumsum(durations.astype(jnp.float32), axis=1)
-    centers = ends - 0.5 * durations.astype(jnp.float32)       # (B, T)
+    length_regulator.py:42-96): out_j = sum_i softmax_i(-delta (j - c_i)^2) x_i
+    with c_i = cumsum(d)_i - d_i/2 the duration midpoints and 0-based output
+    positions j, exactly as the reference.
+
+    ``src_mask`` (B, T) True=valid masks PADDED source positions only — a
+    valid position with zero duration still receives weight (the reference
+    masks by the padding mask, not by duration; the expressive EOS unit
+    carries duration 0 and is attended). Defaults to durations > 0 when no
+    mask is given."""
+    d32 = durations.astype(jnp.float32)
+    ends = jnp.cumsum(d32, axis=1)
+    centers = ends - 0.5 * d32                                 # (B, T)
     total = ends[:, -1]
-    j = jnp.arange(max_out_len, dtype=jnp.float32) + 1.0        # 1-based positions
-    energy = -((j[None, :, None] - centers[:, None, :]) ** 2) / temperature
-    energy = jnp.where((durations > 0)[:, None, :], energy, -1e9)
+    j = jnp.arange(max_out_len, dtype=jnp.float32)             # 0-based positions
+    energy = -delta * (j[None, :, None] - centers[:, None, :]) ** 2
+    valid_src = (durations > 0) if src_mask is None else src_mask
+    energy = jnp.where(valid_src[:, None, :], energy, -1e9)
     w = jax.nn.softmax(energy, axis=-1)                        # (B, U, T)
     out = jnp.einsum("but,btd->bud", w.astype(x.dtype), x)
-    valid = (j[None, :] - 1.0) < total[:, None]
+    valid = j[None, :] < total[:, None]
     return out * valid[..., None].astype(x.dtype), total.astype(jnp.int32)

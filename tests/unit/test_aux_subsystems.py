@@ -68,7 +68,7 @@ def test_pretssel_vocoder_shapes():
         num_units=50, model_dim=32, num_heads=2, ffn_inner_dim=64,
         conv_kernel_size=5, num_encoder_layers=1, num_decoder_layers=1,
         num_langs=4, lang_embed_dim=8, prosody_dim=16, mel_dim=80,
-        pn_conv_dim=32, pn_layers=2, pn_kernel_size=5, dur_predictor_hidden=16,
+        pn_conv_dim=32, pn_layers=2, pn_kernel_size=5, var_pred_hidden=16,
         hifigan=HifiGanConfig(model_in_dim=80, upsample_initial_channel=32,
                               upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
                               resblock_kernel_sizes=(3,),

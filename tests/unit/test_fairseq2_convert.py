@@ -106,7 +106,7 @@ def test_pretssel_pt_roundtrip(tmp_path):
         conv_kernel_size=3, num_encoder_layers=2, num_decoder_layers=2,
         num_langs=4, lang_embed_dim=8, prosody_dim=24, mel_dim=8,
         pn_conv_dim=12, pn_layers=3, pn_kernel_size=5,
-        dur_predictor_hidden=8,
+        var_pred_hidden=8,
         hifigan=HifiGanConfig(model_in_dim=8, upsample_rates=(5, 2),
                               upsample_kernel_sizes=(10, 4),
                               upsample_initial_channel=16,

@@ -28,12 +28,30 @@ def test_masks():
 def test_gaussian_upsample_mass():
     from seamless_communication_tpu.ops.upsample import gaussian_upsample
     x = jnp.eye(3, dtype=jnp.float32)[None]            # 3 one-hot features
-    dur = jnp.asarray([[2, 2, 2]])
-    out, total = gaussian_upsample(x, dur, 8, temperature=0.0001)
+    dur = jnp.asarray([[1, 2, 3]])
+    out, total = gaussian_upsample(x, dur, 8, delta=100.0)
     assert int(total[0]) == 6
-    # with near-zero temperature each output frame picks its segment's feature
+    # sharp delta: each 0-based output frame picks the nearest duration
+    # midpoint c = cumsum(d) - d/2 (reference length_regulator.py:85)
     picks = np.asarray(out[0, :6]).argmax(-1)
     assert list(picks) == [0, 0, 1, 1, 2, 2]
+
+
+def test_gaussian_upsample_zero_duration_still_attended():
+    # the reference masks by the SOURCE padding mask, not by duration — a
+    # valid position with duration 0 (the expressive EOS unit) receives weight
+    from seamless_communication_tpu.ops.upsample import gaussian_upsample
+    x = jnp.eye(3, dtype=jnp.float32)[None]
+    dur = jnp.asarray([[2, 2, 0]])
+    mask = jnp.asarray([[True, True, True]])
+    out, total = gaussian_upsample(x, dur, 6, delta=0.1, src_mask=mask)
+    assert int(total[0]) == 4
+    # zero-duration center sits at cumsum=4; the last frame (t=3) is nearer to
+    # it than to c1=3 by |3-4|=1 vs |3-3|=0 -> still some mass on feature 2
+    assert float(out[0, 3, 2]) > 0.01
+    # with the default durations>0 mask the zero-duration row gets nothing
+    out2, _ = gaussian_upsample(x, dur, 6, delta=0.1)
+    assert float(out2[0, 3, 2]) == 0.0
 
 
 def test_lstm_skip_connection():

@@ -332,3 +332,269 @@ def test_pretssel_wave_synth_matches_torch_oracle():
                 pn = torch.tanh(pn)
         mel_ref = (mel + pn.transpose(1, 2)) * mod.gcmvn_std + mod.gcmvn_mean
     assert_close(out_mel, mel_ref.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# PRE-MEL composed oracle (VERDICT r03 weak #8): from-spec torch modules for
+# the reference's pre-mel chain (generator/vocoder.py:496-513 forward):
+#   embed + alpha*sinpos -> FFT encoder (FiLM, POST norm order: NO final norm,
+#   builder.py:304) -> variance adaptor (NO duration predictor; vuv-gated
+#   pitch + energy 1x1-conv embeds added in PARALLEL, builder.py:392-403;
+#   GAUSSIAN upsample by the PROVIDED durations, builder.py:149,
+#   length_regulator.py:42-96) -> + alpha*sinpos -> FFT decoder (FiLM)
+#   -> final_proj mel
+# Written from the reference equations, not the JAX code.
+# ---------------------------------------------------------------------------
+
+class _TorchFiLM(torch.nn.Module):                 # models/unity/film.py:15-68
+    def __init__(self, cond_dim, dim):
+        super().__init__()
+        self.proj = torch.nn.Linear(cond_dim, 2 * dim)
+        self.s_gamma = torch.nn.Parameter(torch.randn(1) * 0.2 + 1.0)
+        self.s_beta = torch.nn.Parameter(torch.randn(1) * 0.2 + 1.0)
+
+    def forward(self, x, cond):
+        gammas, betas = self.proj(cond).chunk(2, dim=-1)
+        return (self.s_gamma * gammas + 1.0) * x + self.s_beta * betas
+
+
+class _TorchVP(torch.nn.Module):            # length_regulator.py:99-220 (eval)
+    def __init__(self, dim, hidden, k, cond_dim):
+        super().__init__()
+        self.conv1 = torch.nn.Conv1d(dim, hidden, k, padding="same")
+        self.ln1 = torch.nn.LayerNorm(hidden)
+        self.conv2 = torch.nn.Conv1d(hidden, hidden, k, padding="same")
+        self.ln2 = torch.nn.LayerNorm(hidden)
+        self.proj = torch.nn.Linear(hidden, 1)
+        self.film = _TorchFiLM(cond_dim, hidden)
+
+    def forward(self, x, cond):                 # (B, T, D) full length, (B,1,C)
+        h = F.relu(self.conv1(x.transpose(1, 2))).transpose(1, 2)
+        h = self.ln1(h)
+        h = F.relu(self.conv2(h.transpose(1, 2))).transpose(1, 2)
+        h = self.ln2(h)
+        h = self.film(h, cond)
+        return self.proj(h).squeeze(-1)
+
+
+class _TorchFFTLayer(torch.nn.Module):          # fft_decoder_layer.py:104-230
+    def __init__(self, dim, heads, ffn, k, cond_dim):
+        super().__init__()
+        self.heads = heads
+        self.q = torch.nn.Linear(dim, dim)
+        self.k = torch.nn.Linear(dim, dim)
+        self.v = torch.nn.Linear(dim, dim)
+        self.out = torch.nn.Linear(dim, dim)
+        self.attn_ln = torch.nn.LayerNorm(dim)
+        self.conv1 = torch.nn.Conv1d(dim, ffn, k, padding="same")
+        self.conv2 = torch.nn.Conv1d(ffn, dim, k, padding="same")
+        self.conv_ln = torch.nn.LayerNorm(dim)
+        self.film = _TorchFiLM(cond_dim, dim)
+
+    def forward(self, x, cond):
+        B, T, D = x.shape
+        H, Dh = self.heads, D // self.heads
+        sh = lambda t: t.view(B, T, H, Dh).transpose(1, 2)
+        a = F.scaled_dot_product_attention(sh(self.q(x)), sh(self.k(x)),
+                                           sh(self.v(x)))
+        a = self.out(a.transpose(1, 2).reshape(B, T, D))
+        x = self.attn_ln(x + a)
+        h = F.relu(self.conv1(x.transpose(1, 2)).transpose(1, 2))
+        h = self.conv2(h.transpose(1, 2)).transpose(1, 2)
+        x = self.conv_ln(x + h)
+        return self.film(x, cond)
+
+
+def _torch_sinpos(T, D, pad_idx):
+    """fairseq sin|cos table with positions starting at pad_idx + 1."""
+    half = D // 2
+    inv = torch.exp(torch.arange(half, dtype=torch.float32)
+                    * (-math.log(10000.0) / (half - 1)))
+    pos = torch.arange(pad_idx + 1, pad_idx + 1 + T, dtype=torch.float32)
+    ang = pos[:, None] * inv[None, :]
+    return torch.cat([torch.sin(ang), torch.cos(ang)], dim=1)
+
+
+def _torch_gaussian_upsample(x, durations, delta=0.1):
+    # length_regulator.py:42-96, B=1 no padding: t 0-based, c = cumsum - d/2
+    d = durations.float()
+    c = torch.cumsum(d, dim=-1) - d / 2
+    T_feat = int(d.sum())
+    t = torch.arange(T_feat, dtype=torch.float32)[None]
+    energy = -delta * (t.unsqueeze(-1) - c.unsqueeze(1)) ** 2
+    p = F.softmax(energy, dim=2)
+    return torch.matmul(p, x)
+
+
+class _TorchPretsselPreMel(torch.nn.Module):
+    def __init__(self, V, D, H, ffn, k, cond_dim, vp_hidden, vp_k, mel,
+                 n_enc, n_dec):
+        super().__init__()
+        self.embed = torch.nn.Embedding(V, D)
+        self.alpha_enc = torch.nn.Parameter(torch.tensor([1.3]))
+        self.alpha_dec = torch.nn.Parameter(torch.tensor([0.7]))
+        self.enc = torch.nn.ModuleList(
+            [_TorchFFTLayer(D, H, ffn, k, cond_dim) for _ in range(n_enc)])
+        self.pitch = _TorchVP(D, vp_hidden, vp_k, cond_dim)
+        self.embed_pitch = torch.nn.Conv1d(1, D, 1)
+        self.vuv = _TorchVP(D, vp_hidden, vp_k, cond_dim)
+        self.energy = _TorchVP(D, vp_hidden, vp_k, cond_dim)
+        self.embed_energy = torch.nn.Conv1d(1, D, 1)
+        self.dec = torch.nn.ModuleList(
+            [_TorchFFTLayer(D, H, ffn, k, cond_dim) for _ in range(n_dec)])
+        self.final_proj = torch.nn.Linear(D, mel)
+        self.pad_idx = 1
+
+    def forward(self, units, durations, cond):
+        x = self.embed(units)
+        x = x + self.alpha_enc * _torch_sinpos(x.shape[1], x.shape[2],
+                                               self.pad_idx)[None]
+        for l in self.enc:
+            x = l(x, cond)
+        pitch = self.pitch(x, cond)
+        pitch = pitch * (torch.sigmoid(self.vuv(x, cond)) >= 0.5)
+        pe = self.embed_pitch(pitch.unsqueeze(1)).transpose(1, 2)
+        ee = self.embed_energy(self.energy(x, cond).unsqueeze(1)).transpose(1, 2)
+        x = x + pe + ee                       # add_variance_parallel=True
+        x = _torch_gaussian_upsample(x, durations)
+        x = x + self.alpha_dec * _torch_sinpos(x.shape[1], x.shape[2],
+                                               self.pad_idx)[None]
+        for l in self.dec:
+            x = l(x, cond)
+        return self.final_proj(x)
+
+
+def _vp_tree(m):
+    from tests.common import layer_norm_from_torch, linear_from_torch
+    return {"conv1": conv1d_from_torch(m.conv1),
+            "ln1": layer_norm_from_torch(m.ln1),
+            "conv2": conv1d_from_torch(m.conv2),
+            "ln2": layer_norm_from_torch(m.ln2),
+            "proj": linear_from_torch(m.proj),
+            "film": {"proj": linear_from_torch(m.film.proj),
+                     "s_gamma": t2j(m.film.s_gamma),
+                     "s_beta": t2j(m.film.s_beta)}}
+
+
+def _fft_tree(l):
+    from tests.common import layer_norm_from_torch, linear_from_torch
+    return {"self_attn": {"q_proj": linear_from_torch(l.q),
+                          "k_proj": linear_from_torch(l.k),
+                          "v_proj": linear_from_torch(l.v),
+                          "output_proj": linear_from_torch(l.out)},
+            "self_attn_layer_norm": layer_norm_from_torch(l.attn_ln),
+            "conv1": conv1d_from_torch(l.conv1),
+            "conv2": conv1d_from_torch(l.conv2),
+            "conv_layer_norm": layer_norm_from_torch(l.conv_ln),
+            "film": {"proj": linear_from_torch(l.film.proj),
+                     "s_gamma": t2j(l.film.s_gamma),
+                     "s_beta": t2j(l.film.s_beta)}}
+
+
+def test_pretssel_premel_matches_torch_oracle():
+    from tests.common import embedding_from_torch, linear_from_torch
+    from seamless_communication_tpu.models.pretssel.streamable import SeanetConfig
+    from seamless_communication_tpu.models.pretssel.vocoder import (
+        PretsselConfig, pretssel_premel,
+    )
+    from seamless_communication_tpu.models.vocoder.hifigan import HifiGanConfig
+
+    V, D, H, FFN, K, COND, VPH, MEL = 20, 16, 2, 32, 3, 12, 8, 6
+    mod = _TorchPretsselPreMel(V, D, H, FFN, K, COND, VPH, 3, MEL,
+                               n_enc=2, n_dec=2).eval()
+    # bias the vuv head so the >= 0.5 gate is exercised in BOTH directions
+    with torch.no_grad():
+        mod.vuv.proj.bias.fill_(0.0)
+        mod.vuv.proj.weight.mul_(8.0)
+
+    units = torch.randint(4, V, (1, 5))
+    durations = torch.tensor([[2, 3, 1, 2, 0]])   # EOS-style trailing zero
+    cond = torch.randn(1, 1, COND)
+    with torch.no_grad():
+        ref = mod(units, durations, cond)
+    T_mel = int(durations.sum())
+
+    cfg = PretsselConfig(
+        num_units=V, model_dim=D, num_heads=H, ffn_inner_dim=FFN,
+        conv_kernel_size=K, num_encoder_layers=2, num_decoder_layers=2,
+        num_langs=2, lang_embed_dim=COND - 10, prosody_dim=10, mel_dim=MEL,
+        var_pred_hidden=VPH, var_pred_kernel=3,
+        hifigan=HifiGanConfig(model_in_dim=MEL),
+        seanet=SeanetConfig())
+    assert cfg.cond_dim == COND
+    params = {
+        "embed_tokens": embedding_from_torch(mod.embed),
+        "pos_emb_alpha_enc": t2j(mod.alpha_enc),
+        "pos_emb_alpha_dec": t2j(mod.alpha_dec),
+        "encoder_layers": [_fft_tree(l) for l in mod.enc],
+        "pitch_predictor": _vp_tree(mod.pitch),
+        "embed_pitch": conv1d_from_torch(mod.embed_pitch),
+        "vuv_predictor": _vp_tree(mod.vuv),
+        "energy_predictor": _vp_tree(mod.energy),
+        "embed_energy": conv1d_from_torch(mod.embed_energy),
+        "decoder_layers": [_fft_tree(l) for l in mod.dec],
+        "final_proj": linear_from_torch(mod.final_proj),
+    }
+    uj = jnp.asarray(units.numpy())
+    dj = jnp.asarray(durations.numpy())
+    cj = t2j(cond)
+    ul = jnp.asarray([5], jnp.int32)
+    mel, mel_total, _ = pretssel_premel(params, cfg, uj, ul, dj, cj,
+                                        max_mel_len=T_mel)
+    assert int(mel_total[0]) == T_mel
+    assert_close(mel[0], ref[0].numpy(), atol=5e-4, rtol=1e-3)
+
+    # order perturbations must fail: each variant below reproduces a plausible
+    # misreading of the reference and must NOT match the oracle
+    diff = lambda m: float(np.abs(np.asarray(m[0]) - ref[0].numpy()).max())
+
+    from seamless_communication_tpu.ops.upsample import hard_upsample
+    from seamless_communication_tpu.models.unity.t2u import (
+        _alpha_sin_pos, fft_layer, variance_predictor,
+    )
+    from seamless_communication_tpu.ops.masks import (
+        lengths_to_padding_mask, padding_bias,
+    )
+    from seamless_communication_tpu.ops.modules import (
+        conv1d, embedding, layer_norm, linear,
+    )
+    import jax
+
+    def premel_variant(kind):
+        fft = cfg.fft_cfg()
+        x = embedding(params["embed_tokens"], uj)
+        x = _alpha_sin_pos(x, params["pos_emb_alpha_enc"], 1)
+        umask = lengths_to_padding_mask(ul, 5)
+        bias = padding_bias(umask)
+        for lp in params["encoder_layers"]:
+            x = fft_layer(lp, x, bias, umask, fft, cond=cj)
+        pitch = variance_predictor(params["pitch_predictor"], x, umask, cond=cj)
+        if kind != "no_vuv_gate":
+            vuv = variance_predictor(params["vuv_predictor"], x, umask, cond=cj)
+            pitch = pitch * (jax.nn.sigmoid(vuv) >= 0.5).astype(pitch.dtype)
+        pe = conv1d(params["embed_pitch"], pitch[..., None])
+        if kind == "sequential_variance":        # add_variance_parallel=False
+            x = x + pe
+            en = variance_predictor(params["energy_predictor"], x, umask, cond=cj)
+            x = x + conv1d(params["embed_energy"], en[..., None])
+        else:
+            en = variance_predictor(params["energy_predictor"], x, umask, cond=cj)
+            x = x + pe + conv1d(params["embed_energy"], en[..., None])
+        if kind == "hard_upsample":
+            x, total = hard_upsample(x, dj, T_mel)
+        else:
+            from seamless_communication_tpu.ops.upsample import gaussian_upsample
+            x, total = gaussian_upsample(x, dj, T_mel, src_mask=umask)
+        x = _alpha_sin_pos(x, params["pos_emb_alpha_dec"], 1)
+        mmask = lengths_to_padding_mask(total, T_mel)
+        mbias = padding_bias(mmask)
+        for lp in params["decoder_layers"]:
+            x = fft_layer(lp, x, mbias, mmask, fft, cond=cj)
+        if kind == "final_norm":                 # PRE norm-order misreading
+            x = layer_norm({"scale": jnp.ones(D), "bias": jnp.zeros(D)}, x)
+        return linear(params["final_proj"], x)
+
+    assert diff(premel_variant("exact")) < 5e-4  # guards the variant copy
+    for kind in ("hard_upsample", "no_vuv_gate", "sequential_variance",
+                 "final_norm"):
+        assert diff(premel_variant(kind)) > 1e-3, kind
