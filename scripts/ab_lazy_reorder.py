@@ -11,7 +11,7 @@ stage_beam. The env var is read at TRACE time (ops/transformer.py
 decoder_cache_init), so one process traces both variants by toggling it
 between jax.jit(...).lower() calls.
 
-Usage: python scripts/ab_lazy_reorder.py [n_trials=7]
+Usage: python scripts/ab_lazy_reorder.py [n_trials=7] [modes=lazy1,lazy0]
 Prints one JSON line with per-trial ms lists, medians, and ms/step.
 """
 
@@ -38,6 +38,8 @@ def main() -> None:
     from seamless_communication_tpu.ops.quantization import quantize_params
 
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    modes = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ["lazy1", "lazy0"])
 
     MAX_FRAMES = 998
     S_ENC = MAX_FRAMES // 2 // 8
@@ -75,8 +77,8 @@ def main() -> None:
 
     t0 = time.time()
     lowered = {}
-    for mode, flag in (("lazy1", "1"), ("lazy0", "0")):
-        os.environ["SEAMLESS_LAZY_REORDER"] = flag
+    for mode in modes:
+        os.environ["SEAMLESS_LAZY_REORDER"] = mode[-1]
         lowered[mode] = jax.jit(stage_beam).lower(params_aval, enc_aval, prefix)
     print(f"# lowered both at {time.time()-t0:.1f}s", flush=True)
 
@@ -111,7 +113,7 @@ def main() -> None:
 
     trials = {m: [] for m in compiled}
     for i in range(n_trials):
-        order = ("lazy1", "lazy0") if i % 2 == 0 else ("lazy0", "lazy1")
+        order = modes if i % 2 == 0 else modes[::-1]
         for m in order:
             trials[m].append(round(run(m), 1))
 

@@ -222,22 +222,21 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
             zs = lambda: tuple(jnp.zeros(shape[1:4], jnp.float32)
                                for _ in range(L))
             # identity row-origin table for LAZY beam reorder (see
-            # DecoderCacheQ8.row_src) — the default for per-layer int8 decode
-            # where the vectorized one-hot formulation applies (its (B,B,H,T)
-            # f32 logit intermediate under decode_attention's 64 MB cap —
-            # single-stream beams qualify, large batch x beam products fall
-            # back to the proven fused gather kernel by NOT carrying a table).
-            # SEAMLESS_LAZY_REORDER=0 restores the classic physical reorder;
-            # decoder_cache_beam_reorder composes through the table if a
-            # row_src-carrying cache is physically reordered (test-only path).
-            from seamless_communication_tpu.ops.kernels.decode_attention import (
-                onehot_fits,
-            )
-
+            # DecoderCacheQ8.row_src), OPT-IN via SEAMLESS_LAZY_REORDER=1.
+            # The round-3 default flip to the one-hot lazy formulation was
+            # REVERTED after isolated on-device A/B (scripts/ab_lazy_reorder.py
+            # single-mode runs): classic fused-gather 1.97 ms/step vs one-hot
+            # 2.77 at v2-large beam-5 — the one-hot's extra B x MXU logit work
+            # is NOT free at (5,16,262) shapes, and co-loading both
+            # executables in one process degrades both to ~2.74 (HBM
+            # co-residency), which had masked the regression in the original
+            # interleaved A/B (docs/performance.md). The lazy path stays
+            # available (exactness equality-tested) and still caps at the
+            # one-hot 64 MB intermediate; decoder_cache_beam_reorder composes
+            # through the table if a row_src-carrying cache is physically
+            # reordered (test-only path).
             row_src = None
-            if os.environ.get("SEAMLESS_LAZY_REORDER",
-                              "1" if onehot_fits(B, H, max_len)
-                              else "0") == "1":
+            if os.environ.get("SEAMLESS_LAZY_REORDER", "0") == "1":
                 row_src = jnp.broadcast_to(
                     jnp.arange(B, dtype=jnp.int32)[:, None], (B, max_len))
             return DecoderCacheQ8(
@@ -520,16 +519,15 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
         sks, svs = list(cache.self_k_scale), list(cache.self_v_scale)
     T = sk[0].shape[2]
     pos_is_step = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2) == step
-    # Lazy (row-origin indexed) reorder is the DEFAULT for the per-layer int8
-    # beam decode where the one-hot intermediate fits (decoder_cache_init only
-    # materializes row_src then): it eliminates the physical cache permutation
-    # + write-back + carry copies, reading each cache exactly once per step
-    # through the vectorized one-hot formulation
-    # (decode_attention._indexed_onehot; exact — equality-tested against the
-    # physical gather). The earlier serial Pallas indexed kernel measured
-    # slower (0.89 vs 0.44 ms/step attention; docs/performance.md carries the
-    # current measurements). SEAMLESS_LAZY_REORDER=0 restores the classic
-    # physical reorder.
+    # Lazy (row-origin indexed) reorder is OPT-IN (SEAMLESS_LAZY_REORDER=1;
+    # decoder_cache_init materializes row_src only then): the vectorized
+    # one-hot formulation (decode_attention._indexed_onehot, exact —
+    # equality-tested against the physical gather) eliminates the physical
+    # cache permutation + carry copies, but its extra B x MXU logit work
+    # measured SLOWER in isolation (2.77 vs the classic path's 1.97 ms/step,
+    # v2-large beam-5, scripts/ab_lazy_reorder.py single-mode runs;
+    # docs/performance.md). The earlier serial Pallas indexed kernel was
+    # slower still (0.89 vs 0.44 ms/step attention).
     lazy = (int8 and beam_src is not None
             and getattr(cache, "row_src", None) is not None
             and os.environ.get("SEAMLESS_LAZY_REORDER", "1") == "1")

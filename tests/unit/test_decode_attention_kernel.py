@@ -108,11 +108,12 @@ def test_indexed_reference_matches_physical_gather(data):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_lazy_default_gated_by_onehot_cap(monkeypatch):
-    """decoder_cache_init materializes the lazy row_src table by default ONLY
-    when the one-hot formulation's (B,B,H,T) f32 intermediate fits its 64 MB
-    cap — single-stream beams qualify; batch x beam products past the cap
-    must keep the classic fused-gather path (no table)."""
+def test_lazy_reorder_is_opt_in(monkeypatch):
+    """The classic fused-gather physical reorder is the DEFAULT (no row_src
+    table): isolated on-device A/B measured it at 1.97 ms/step vs the one-hot
+    lazy formulation's 2.77 on the v2-large beam-5 bench (round 4,
+    docs/performance.md — the round-3 interleaved A/B had been confounded by
+    two-executable HBM co-residency). SEAMLESS_LAZY_REORDER=1 opts in."""
     import jax
 
     from seamless_communication_tpu.ops.transformer import (
@@ -127,14 +128,10 @@ def test_lazy_default_gated_by_onehot_cap(monkeypatch):
     enc_small = jax.random.normal(jax.random.PRNGKey(1), (5, 4, 64))
     c = decoder_cache_init(params, cfg, enc_small, 1024, kv_int8=True,
                            per_layer=True)
-    assert c.row_src is not None          # 5*5*16*1024*4 = 1.6 MB: lazy on
-    enc_big = jax.random.normal(jax.random.PRNGKey(1), (48, 4, 64))
-    c = decoder_cache_init(params, cfg, enc_big, 1024, kv_int8=True,
-                           per_layer=True)
-    assert c.row_src is None              # 48*48*16*1024*4 = 151 MB: classic
-    # env override forces lazy regardless
+    assert c.row_src is None              # classic by default
+    # env override opts into the lazy row-origin path
     monkeypatch.setenv("SEAMLESS_LAZY_REORDER", "1")
-    c = decoder_cache_init(params, cfg, enc_big, 1024, kv_int8=True,
+    c = decoder_cache_init(params, cfg, enc_small, 1024, kv_int8=True,
                            per_layer=True)
     assert c.row_src is not None
     monkeypatch.setenv("SEAMLESS_LAZY_REORDER", "0")
