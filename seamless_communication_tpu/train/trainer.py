@@ -66,9 +66,16 @@ class FinetuneParams:
 
 
 def s2t_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
-             label_smoothing: float = 0.2):
+             label_smoothing: float = 0.2,
+             vocab_chunk: Optional[int] = None):
     """Speech -> text CE. batch: fbank (B,T,80), fbank_lens, prev_tokens (B,L),
-    target_tokens (B,L), target_lens."""
+    target_tokens (B,L), target_lens.
+
+    ``vocab_chunk``: compute the tied-projection CE in T-chunks so the
+    (B, T, V) fp32 logits never materialize (train/loss.py
+    chunked_tied_nll_loss; numerically identical, equality-tested). None =
+    auto: chunked at production vocab sizes (V >= 64k), full logits for the
+    tiny test configs. 0 disables."""
     # cast host-fp32 features to the model dtype (the reference trainer's
     # float_dtype cast); bf16 params + fp32 activations would otherwise leak
     # fp32 into scan carries
@@ -77,9 +84,17 @@ def s2t_loss(params: dict, cfg: UnitYConfig, batch: dict, *,
     enc = unity.encode_speech(params, cfg, batch["fbank"], batch["fbank_lens"])
     feats = unity.decode_text(params, cfg, batch["prev_tokens"], enc,
                               self_lengths=batch["target_lens"])
-    logits = unity.project(params, feats)
+    if vocab_chunk is None:
+        vocab_chunk = 32 if cfg.nllb.vocab_size >= 65536 else 0
     # prefix_skip_len=1: the lang token is forced, not predicted
     # (reference trainer.py:178-181)
+    if vocab_chunk:
+        from seamless_communication_tpu.train.loss import chunked_tied_nll_loss
+        return chunked_tied_nll_loss(
+            feats, params["text_decoder"]["embed"], batch["target_tokens"],
+            pad_idx=cfg.nllb.pad_idx, label_smoothing=label_smoothing,
+            ignore_prefix_size=1, chunk=vocab_chunk)
+    logits = unity.project(params, feats)
     return label_smoothed_nll_loss(logits, batch["target_tokens"],
                                    pad_idx=cfg.nllb.pad_idx,
                                    label_smoothing=label_smoothing,
@@ -160,7 +175,7 @@ def make_train_step(cfg: UnitYConfig, optimizer, *,
                     loss_fn: Optional[Callable] = None,
                     mode: "FinetuneMode" = None,
                     frozen_predicate: Optional[Callable] = None,
-                    remat: bool = False,
+                    remat=False,
                     pp_mesh=None, pp_n_micro: int = 2):
     """Build the jittable (params, opt_state, batch) -> (params, opt_state, metrics)
     train step. Gradient reduction over the data axis is inserted by XLA from the
@@ -170,11 +185,15 @@ def make_train_step(cfg: UnitYConfig, optimizer, *,
                 and mode == FinetuneMode.SPEECH_TO_SPEECH else s2t_loss)
         loss_fn = partial(base, label_smoothing=label_smoothing)
     if remat:
+        # remat=True -> "full" (save nothing per layer); a string selects a
+        # selective policy, e.g. "dots" saves MXU outputs and recomputes only
+        # the elementwise work between them (ops/remat.py, VERDICT r04 item 7)
         from seamless_communication_tpu.ops.remat import remat_layers
         inner_loss = loss_fn
+        remat_policy = remat if isinstance(remat, str) else "full"
 
         def loss_fn(p, cfg, batch):
-            with remat_layers():
+            with remat_layers(remat_policy):
                 return inner_loss(p, cfg, batch)
     if pp_mesh is not None:
         from jax.sharding import PartitionSpec as _P

@@ -190,6 +190,42 @@ def test_remat_grads_match():
     a, b = jax.tree.leaves(p1), jax.tree.leaves(p2)
     assert all(np.allclose(np.asarray(x), np.asarray(y), atol=1e-4)
                for x, y in zip(a, b))
+    # selective policy ("dots": MXU outputs saved, elementwise recomputed)
+    # must also match
+    p3, _, m3 = jax.jit(make_train_step(cfg, opt, remat="dots"))(
+        params, opt_state, batch)
+    assert abs(float(m1["loss"]) - float(m3["loss"])) < 1e-5
+    c = jax.tree.leaves(p3)
+    assert all(np.allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+               for x, y in zip(a, c))
+
+
+def test_chunked_vocab_loss_matches_full():
+    """chunked_tied_nll_loss (T-chunked tied projection, train/loss.py) must
+    equal the full-logits loss AND produce the same gradients — including a
+    chunk size that does not divide T (pad path)."""
+    from seamless_communication_tpu.train.trainer import s2t_loss
+
+    import jax.numpy as jnp
+
+    cfg = get_arch("tiny_v2")
+    params = unity.unity_init(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in _batches(1)[0].items()}
+
+    def loss_full(p):
+        l, n = s2t_loss(p, cfg, batch, vocab_chunk=0)
+        return l / n
+
+    def loss_chunked(p):
+        l, n = s2t_loss(p, cfg, batch, vocab_chunk=3)   # 8 % 3 != 0: pad path
+        return l / n
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_full))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_chunked))(params)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_pp_sharded_train_step_matches_unsharded(setup):
