@@ -175,9 +175,13 @@ def tied_projection_quantized_int4(params: dict, x: jax.Array) -> jax.Array:
     return out
 
 
-# matmul linears only (conv weights go through conv1d, which reads fp weights)
+# matmul linears only (conv weights go through conv1d, which reads fp
+# weights). NOT r_proj: the XL factorized rel-bias consumes the raw weight
+# matrix directly (ops/attention.py _xl_rel_bias reads
+# params["r_proj"]["weight"] for its sinusoid-table matmuls) — quantizing it
+# breaks that read, and it is a per-sequence (not per-decode-step) cost.
 DEFAULT_QUANT_SUFFIXES = ("q_proj", "k_proj", "v_proj", "output_proj",
-                          "inner_proj", "r_proj")
+                          "inner_proj")
 
 
 def quantize_params(params, *, include: Sequence[str] = DEFAULT_QUANT_SUFFIXES,
