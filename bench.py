@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -236,195 +237,189 @@ def main() -> None:
              "kv_cache": "int8" if kv_int8 else "bf16",
              "platform": str(jax.devices()[0]).strip()}
 
-    # secondary batch-8 S2TT throughput (BASELINE.json config 2) — opt-in: its
-    # extra beam compile can exceed the driver's bench time budget
-    if os.environ.get("BENCH_FULL"):
-        B8 = 8
-        fb8 = jnp.asarray(rng.standard_normal((B8, MAX_FRAMES, 80)), dtype)
-        fl8 = jnp.full((B8,), MAX_FRAMES, jnp.int32)
-        prefix8 = jnp.tile(prefix, (B8, 1))
+    # ---- secondary sections (VERDICT r03 item 2: the scored artifact must
+    # carry the round's numbers, not docs prose). Default ON; BENCH_FAST=1
+    # runs only the core metric, BENCH_SKIP=csv skips named sections, and a
+    # wall budget (BENCH_BUDGET_S, default 2100 s) stops adding sections when
+    # exceeded so the driver's bench never times out half-way.
+    bench_t0 = time.time()
+    _skip = {s for s in os.environ.get("BENCH_SKIP", "").split(",") if s}
 
-        def s2tt(params, fb, fl, prefix):
-            enc = unity.encode_speech(params, cfg, fb, fl)
-            enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
-                                         jnp.repeat(enc.lengths, K, axis=0))
-            step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
-            opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
-                                     min_len=TEXT_MAX_LEN - 8, pad_idx=0,
-                                     unk_idx=1, eos_idx=3)
-            res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, True), prefix,
-                              jnp.full((B8,), 2, jnp.int32), opts, V,
-                              src_to_step=True)
-            return res.tokens
+    def section(name: str, legacy_env: Optional[str] = None) -> bool:
+        if os.environ.get(legacy_env or f"BENCH_{name.upper()}"):
+            return True         # legacy opt-in forces the section on
+        if os.environ.get("BENCH_FAST") or name in _skip:
+            return False
+        budget = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+        if time.time() - bench_t0 > budget:
+            extra.setdefault("sections_skipped_budget", []).append(name)
+            return False
+        return True
 
-        s2tt_fn = jax.jit(s2tt)
-        _ = np.asarray(s2tt_fn(params, fb8, fl8, prefix8))[:1]
-        t0 = time.time()
-        _ = np.asarray(s2tt_fn(params, fb8, fl8, prefix8))[:1]
-        s2tt_rtf = (time.time() - t0) / (B8 * AUDIO_SECONDS)
-        extra["s2tt_batch8_rtf"] = round(s2tt_rtf, 5)
-        extra["s2tt_batch8_audio_s_per_s"] = round(1.0 / s2tt_rtf, 1)
+    import contextlib
+
+    @contextlib.contextmanager
+    def _section_guard(name: str):
+        """A failing secondary section records its error in ``extra`` instead
+        of voiding the whole scored artifact (the core metric has already been
+        measured when the sections run)."""
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001
+            extra[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+
+    # batch-8 S2TT throughput (BASELINE.json config 2)
+    if section("full"):
+      with _section_guard("full"):
+            B8 = 8
+            fb8 = jnp.asarray(rng.standard_normal((B8, MAX_FRAMES, 80)), dtype)
+            fl8 = jnp.full((B8,), MAX_FRAMES, jnp.int32)
+            prefix8 = jnp.tile(prefix, (B8, 1))
+
+            def s2tt(params, fb, fl, prefix):
+                enc = unity.encode_speech(params, cfg, fb, fl)
+                enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
+                                             jnp.repeat(enc.lengths, K, axis=0))
+                step_fn, cache_fn = unity.make_text_decode_step(params, cfg, enc_bk)
+                opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
+                                         min_len=TEXT_MAX_LEN - 8, pad_idx=0,
+                                         unk_idx=1, eos_idx=3)
+                res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, True), prefix,
+                                  jnp.full((B8,), 2, jnp.int32), opts, V,
+                                  src_to_step=True)
+                return res.tokens
+
+            s2tt_fn = jax.jit(s2tt)
+            _ = np.asarray(s2tt_fn(params, fb8, fl8, prefix8))[:1]
+            t0 = time.time()
+            _ = np.asarray(s2tt_fn(params, fb8, fl8, prefix8))[:1]
+            s2tt_rtf = (time.time() - t0) / (B8 * AUDIO_SECONDS)
+            extra["s2tt_batch8_rtf"] = round(s2tt_rtf, 5)
+            extra["s2tt_batch8_audio_s_per_s"] = round(1.0 / s2tt_rtf, 1)
+
+    # int4 (per-column scales) weight-only decode (VERDICT r03 item 3).
+    # int4 cannot exist AT REST on this backend (S4 device_put relayout
+    # recurses), so the stage quantizes IN-GRAPH ahead of the decode loop —
+    # the 262-step while body still reads packed-int4 weights + the halved
+    # 131 MB vocab table from HBM each step, which is the effect under test
+    # (scripts/ab_int4.py carries the interleaved 3-mode A/B).
+    if section("int4", "BENCH_INT4"):
+      with _section_guard("int4"):
+            from seamless_communication_tpu.ops.quantization import quantize_params
+            bf16 = unity.unity_init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+            jax.block_until_ready(bf16)
+            int4_beam = jax.jit(lambda p, enc, prefix: stage_beam(
+                quantize_params(p, bits=4, int4_group=0), enc, prefix))
+            enc1 = compiled["enc"](params, wav)
+
+            def run_int4():
+                t0 = time.time()
+                toks, _ = int4_beam(bf16, enc1, prefix)
+                np.asarray(toks)
+                return (time.time() - t0) * 1000.0
+
+            run_int4()                                    # compile + first launch
+            t_i4 = [run_int4() for _ in range(3)]
+            extra["int4_beam_p50_ms"] = round(float(np.median(t_i4)), 1)
+            extra["int4_ms_per_step"] = round(float(np.median(t_i4)) / TEXT_MAX_LEN,
+                                              3)
+
+            # default (int8) beam stage alone, for the derived int4 RTF:
+            # swap the beam stage's time into the measured end-to-end p50.
+            # CAVEAT: the int4 stage holds its own executable + the 5 GB bf16
+            # tree, so both beam numbers here carry the co-residency tax (see
+            # docs/performance.md benchmark hygiene) — the DELTA is what's
+            # meaningful, and it is applied to the cleanly-measured p50.
+            def run_beam8():
+                t0 = time.time()
+                toks, _ = compiled["beam"](params, enc1, prefix)
+                np.asarray(toks)
+                return (time.time() - t0) * 1000.0
+
+            run_beam8()
+            t_b8 = [run_beam8() for _ in range(3)]
+            extra["int8_beam_p50_ms"] = round(float(np.median(t_b8)), 1)
+            est = (float(np.median(times)) * 1000.0
+                   + float(np.median(t_i4)) - float(np.median(t_b8)))
+            extra["int4_est_rtf"] = round(est / 1000.0 / AUDIO_SECONDS, 5)
+            del bf16, int4_beam, enc1
 
     # opt-in medium-model ASR RTF (BASELINE.json config 1: seamlessM4T_medium
     # ASR on a single 10 s clip): w2v-BERT 300m XL-attention encoder + NLLB
     # dense_600m beam-5 decode at the same reference cap
-    if os.environ.get("BENCH_ASR"):
-        mcfg = get_arch(os.environ.get("BENCH_ASR_ARCH", "medium"))
-        mparams = unity.unity_init(jax.random.PRNGKey(7), mcfg, dtype=dtype)
-        if quantized:
-            from seamless_communication_tpu.ops.quantization import (
-                quantize_params,
-            )
-            mparams = quantize_params(mparams)
+    if section("asr"):
+      with _section_guard("asr"):
+            mcfg = get_arch(os.environ.get("BENCH_ASR_ARCH", "medium"))
+            mparams = unity.unity_init(jax.random.PRNGKey(7), mcfg, dtype=dtype)
+            if quantized:
+                from seamless_communication_tpu.ops.quantization import (
+                    quantize_params,
+                )
+                mparams = quantize_params(mparams)
 
-        def asr(params, wav, prefix):
-            fbank = fbank_jax(wav, max_frames=MAX_FRAMES).astype(dtype)[None]
-            flens = jnp.array([MAX_FRAMES], jnp.int32)
-            enc = unity.encode_speech(params, mcfg, fbank, flens)
-            enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
-                                         jnp.repeat(enc.lengths, K, axis=0))
-            step_fn, cache_fn = unity.make_text_decode_step(params, mcfg,
-                                                            enc_bk)
-            opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
-                                     min_len=TEXT_MAX_LEN - 8, pad_idx=0,
-                                     unk_idx=1, eos_idx=3)
-            res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8),
-                              prefix, jnp.array([2], jnp.int32), opts,
-                              mcfg.nllb.vocab_size, src_to_step=True)
-            return res.tokens[:, 0]
+            def asr(params, wav, prefix):
+                fbank = fbank_jax(wav, max_frames=MAX_FRAMES).astype(dtype)[None]
+                flens = jnp.array([MAX_FRAMES], jnp.int32)
+                enc = unity.encode_speech(params, mcfg, fbank, flens)
+                enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
+                                             jnp.repeat(enc.lengths, K, axis=0))
+                step_fn, cache_fn = unity.make_text_decode_step(params, mcfg,
+                                                                enc_bk)
+                opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
+                                         min_len=TEXT_MAX_LEN - 8, pad_idx=0,
+                                         unk_idx=1, eos_idx=3)
+                res = beam_search(step_fn, cache_fn(TEXT_MAX_LEN, kv_int8),
+                                  prefix, jnp.array([2], jnp.int32), opts,
+                                  mcfg.nllb.vocab_size, src_to_step=True)
+                return res.tokens[:, 0]
 
-        asr_fn = jax.jit(asr)
-        _ = np.asarray(asr_fn(mparams, wav, prefix))
-        times_asr = []
-        for _ in range(3):
-            t0 = time.time()
+            asr_fn = jax.jit(asr)
             _ = np.asarray(asr_fn(mparams, wav, prefix))
-            times_asr.append(time.time() - t0)
-        asr_rtf = float(np.median(times_asr)) / AUDIO_SECONDS
-        extra["asr_medium_rtf"] = round(asr_rtf, 5)
-        extra["asr_medium_p50_ms"] = round(float(np.median(times_asr)) * 1e3, 1)
-        del mparams
+            times_asr = []
+            for _ in range(3):
+                t0 = time.time()
+                _ = np.asarray(asr_fn(mparams, wav, prefix))
+                times_asr.append(time.time() - t0)
+            asr_rtf = float(np.median(times_asr)) / AUDIO_SECONDS
+            extra["asr_medium_rtf"] = round(asr_rtf, 5)
+            extra["asr_medium_p50_ms"] = round(float(np.median(times_asr)) * 1e3, 1)
+            del mparams
 
     # opt-in expressive-synthesis RTF (BASELINE.json config 4): PRETSSEL
     # 16 kHz production config, 640 units / ~12.8 s of speech
-    if os.environ.get("BENCH_EXPRESSIVE"):
-        from seamless_communication_tpu.models.pretssel.vocoder import (
-            PretsselConfig, pretssel_forward, pretssel_init,
-        )
-        pcfg = PretsselConfig()
-        pparams = pretssel_init(jax.random.PRNGKey(2), pcfg, dtype=dtype)
-        U, MEL = 640, 1600
-        units = jnp.asarray(rng.integers(4, 10000, (1, U)), jnp.int32)
-        durs = jnp.full((1, U), 2, jnp.int32)
-        pros = jnp.asarray(rng.standard_normal((1, MAX_FRAMES, 80)), dtype)
+    if section("expressive"):
+      with _section_guard("expressive"):
+            from seamless_communication_tpu.models.pretssel.vocoder import (
+                PretsselConfig, pretssel_forward, pretssel_init,
+            )
+            pcfg = PretsselConfig()
+            pparams = pretssel_init(jax.random.PRNGKey(2), pcfg, dtype=dtype)
+            U, MEL = 640, 1600
+            units = jnp.asarray(rng.integers(4, 10000, (1, U)), jnp.int32)
+            durs = jnp.full((1, U), 2, jnp.int32)
+            pros = jnp.asarray(rng.standard_normal((1, MAX_FRAMES, 80)), dtype)
 
-        def expressive(pparams, units, durs, pros):
-            out = pretssel_forward(pparams, pcfg, units, jnp.array([U]), durs,
-                                   pros, jnp.array([MAX_FRAMES]),
-                                   jnp.array([0]), max_mel_len=MEL)
-            return out.waveform, out.sample_lengths
+            def expressive(pparams, units, durs, pros):
+                out = pretssel_forward(pparams, pcfg, units, jnp.array([U]), durs,
+                                       pros, jnp.array([MAX_FRAMES]),
+                                       jnp.array([0]), max_mel_len=MEL)
+                return out.waveform, out.sample_lengths
 
-        efn = jax.jit(expressive)
-        wave, wl = efn(pparams, units, durs, pros)
-        n = int(np.asarray(wl)[0])
-        t0 = time.time()
-        wave, wl = efn(pparams, units, durs, pros)
-        np.asarray(wave[:, :8])
-        seconds_out = n / 16000.0
-        extra["expressive_synth_rtf"] = round((time.time() - t0) / seconds_out, 5)
-        extra["expressive_synth_audio_s"] = round(seconds_out, 2)
-
-    # opt-in single-chip training throughput: S2T step with the big-model
-    # single-chip recipe — bf16 params, factored optimizer states
-    # (adafactor), per-layer activation remat. The recipe fits even v2-large
-    # (2.53B params) in one chip's 16 GB: BENCH_TRAIN_ARCH=base_v2
-    # BENCH_TRAIN_B=16 measured 2977 tok/s (fp32 + adam would not fit —
-    # that is what dp+tp meshes are for)
-    if os.environ.get("BENCH_TRAIN"):
-        # free the serving state before allocating train state: the int8
-        # v2-large weights, vocoder weights (ALSO referenced by init_box —
-        # deleting the locals alone leaks them), stage executables and every
-        # jit-cache constant (the train step needs the full HBM budget)
-        init_box.clear()
-        del params, voc_params, compiled, lowered
-        import gc
-        import optax
-        from seamless_communication_tpu.train.trainer import make_train_step
-
-        gc.collect()
-        jax.clear_caches()
-        tcfg = get_arch(os.environ.get("BENCH_TRAIN_ARCH", "medium"))
-        opt = optax.adafactor(1e-4)
-        tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128
-
-        def _train_once(tb):
-            tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
-                                       dtype=jnp.bfloat16)
-            topt = opt.init(tparams)
-            batch = {
-                "fbank": jnp.asarray(rng.standard_normal((tb, MAX_FRAMES, 80)),
-                                     jnp.float32),
-                "fbank_lens": jnp.full((tb,), MAX_FRAMES, jnp.int32),
-                "prev_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)),
-                                           jnp.int32),
-                "target_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)),
-                                             jnp.int32),
-                "target_lens": jnp.full((tb,), tt, jnp.int32),
-            }
-            tstep = jax.jit(make_train_step(tcfg, opt, remat=True))
-            tparams, topt, m = tstep(tparams, topt, batch)
-            float(m["loss"])
+            efn = jax.jit(expressive)
+            wave, wl = efn(pparams, units, durs, pros)
+            n = int(np.asarray(wl)[0])
             t0 = time.time()
-            n_steps = 3
-            for _ in range(n_steps):
-                tparams, topt, m = tstep(tparams, topt, batch)
-            float(m["loss"])
-            return (time.time() - t0) / n_steps, tparams
+            wave, wl = efn(pparams, units, durs, pros)
+            np.asarray(wave[:, :8])
+            seconds_out = n / 16000.0
+            extra["expressive_synth_rtf"] = round((time.time() - t0) / seconds_out, 5)
+            extra["expressive_synth_audio_s"] = round(seconds_out, 2)
 
-        # the serving sections above can leave the remote allocator
-        # fragmented; degrade the batch rather than abort the whole bench
-        while True:
-            try:
-                dt, tparams = _train_once(tb)
-                break
-            except Exception as e:  # jaxlib RESOURCE_EXHAUSTED
-                if "RESOURCE_EXHAUSTED" not in str(e) or tb <= 8:
-                    raise
-                gc.collect()
-                jax.clear_caches()
-                tb //= 2
-        extra["train_arch"] = os.environ.get("BENCH_TRAIN_ARCH", "medium")
-        extra["train_medium_batch"] = tb
-        extra["train_medium_step_s"] = round(dt, 3)
-        extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
-        extra["train_medium_audio_s_per_s"] = round(tb * AUDIO_SECONDS / dt, 2)
-
-        # model-FLOPs accounting -> MFU. 6*N*T matmul model (fwd 2NT + bwd
-        # 4NT) per component with ITS token count (encoder runs at the
-        # subsampled frame rate, decoder at text positions); remat re-runs
-        # the layer forwards once more (+2NT -> 8NT). Attention score/value
-        # matmuls (quadratic term) add 12*L*T^2*D per component — included;
-        # embedding gather excluded. Peak: TPU v5e bf16 = 197 TFLOP/s.
-        def _n(tree):
-            return sum(x.size for x in jax.tree.leaves(tree))
-
-        fwd_bwd = 8.0  # with remat: fwd + recompute-fwd + bwd
-        T_enc = MAX_FRAMES // 2                       # frontend stack /2
-        se, td = tparams["speech_encoder"], tparams["text_decoder"]
-        enc_flops = fwd_bwd * _n(se) * tb * T_enc
-        dec_flops = fwd_bwd * _n(td) * tb * tt        # incl. tied vocab proj
-        sp = tcfg.speech
-        attn = 12.0 * tb * (sp.conformer.num_layers * T_enc ** 2 * sp.model_dim
-                            + tcfg.nllb.num_decoder_layers * tt ** 2
-                            * tcfg.nllb.dim)
-        total_flops = enc_flops + dec_flops + attn
-        mfu = total_flops / dt / 197e12
-        extra["train_medium_model_tflops"] = round(total_flops / 1e12, 2)
-        extra["train_medium_mfu_pct"] = round(mfu * 100, 1)
-
-    # opt-in streaming latency: production dims (chunked streaming encoder +
-    # dense_1b EMMA monotonic decoder), warm ms per 320 ms chunk and xRT
-    if os.environ.get("BENCH_STREAM"):
+    def _stream_section():
+        # nested so the dense_1b EMMA params, pipelines and their
+        # executables are freed when the section returns: the train
+        # section below needs the full HBM budget (r04: leaking these
+        # from the main frame OOMed the train step).
         from seamless_communication_tpu.models.monotonic.model import (
             MonotonicDecoderConfig, monotonic_decoder_init,
         )
@@ -466,6 +461,61 @@ def main() -> None:
         extra["stream_ms_per_chunk"] = round(wall / n_chunks * 1000, 1)
         extra["stream_xrt"] = round(wall / 10.0, 3)
 
+        # ---- full S2ST streaming chunk (VERDICT r03 item 4): EMMA chunk +
+        # NAR T2U re-run + unit-vocoder synth per 320 ms chunk (reference
+        # online_unit_decoder.py:94-147 + online_vocoder.py:43-69), timed at
+        # the worst case (threshold 0: a write burst EVERY chunk, so every
+        # chunk pays the re-decode + synth). Text side uses the full dense_1b
+        # EMMA layer stack with a tokenizer-sized planted vocab (real words
+        # must flow for the unit branch to fire); unit side is the production
+        # NAR T2U + code HiFi-GAN.
+        from seamless_communication_tpu.models.unity.unit_tokenizer import (
+            UnitTokenizer,
+        )
+        from seamless_communication_tpu.streaming.pipeline import (
+            build_s2st_pipeline,
+        )
+        from seamless_communication_tpu.text.char_tokenizer import CharTokenizer
+
+        mono_cfg_small = mono_cfg._replace(vocab_size=len(tok.spm) + 1 + 1)
+        mono_params_small = monotonic_decoder_init(jax.random.PRNGKey(6),
+                                                   mono_cfg_small, dtype=dtype)
+        # plant +-u word rows so every burst step emits a real word (argmax of
+        # a random 20-vocab head rarely lands on one) — see the AL note below
+        emb = np.zeros((mono_cfg_small.vocab_size, mono_cfg.model_dim),
+                       np.float32)
+        u = np.asarray(rng.standard_normal(mono_cfg.model_dim), np.float32)
+        emb[4], emb[5] = u, -u                     # two word pieces
+        mono_params_small["embed"]["embedding"] = jnp.asarray(emb, dtype)
+
+        word_chars = sorted({c for w in words for c in w})
+        char_tok_s = CharTokenizer(SentencePieceModel.from_bytes(build_spm_model(
+            base + [(c, -1.0, TYPE_NORMAL) for c in word_chars])))
+        unit_tok_s = UnitTokenizer(10000, ["eng"], "base_v2")
+        s2st_pipe = build_s2st_pipeline(
+            sparams, scfg, mono_params_small, mono_cfg_small, tok, unit_tok_s,
+            char_tok_s, voc_params, voc_cfg,
+            {"multilingual": {"eng": 0}, "multispkr": {"eng": [0]}},
+            tgt_lang="eng", decision_threshold=0.0, min_unit_chunk_size=10)
+        # mono weights stay on the production default (int8 on TPU): the
+        # planted ±u word rows live in the "embedding" leaf, which
+        # quantize_params never rewrites, so the burst still emits real words
+
+        def s2st_once():
+            t0 = time.time()
+            n_wav = 0
+            for _, seg in StreamingSession(s2st_pipe, segment_size_ms=320,
+                                           tgt_lang="eng").run(swav):
+                if getattr(seg, "sample_rate", None) and seg.content is not None:
+                    n_wav += np.asarray(seg.content).size
+            return time.time() - t0, n_wav
+
+        s2st_once()                          # cold (compiles)
+        s2st_wall, s2st_nwav = s2st_once()   # warm
+        extra["stream_s2st_ms_per_chunk"] = round(
+            s2st_wall / n_chunks * 1000, 1)
+        extra["stream_s2st_out_audio_s"] = round(s2st_nwav / 16000.0, 2)
+
         # latency metrics through the SAME evaluator the streaming_evaluate
         # CLI uses (AL/LAAL over emitted tokens; reference evaluate.py:70) on
         # a small synthetic set — policy delays are weight-dependent, wall
@@ -476,24 +526,10 @@ def main() -> None:
         )
         utts = [np.asarray(rng.standard_normal(int(sec * 16000)),
                            np.float32) * 0.1 for sec in (4.0, 6.5, 10.0)]
-        # random weights never clear the default p_choose threshold and the
-        # 256k-vocab argmax never lands on a real tokenizer piece (no words ->
-        # vacuous AL); a tokenizer-sized vocab + threshold 0 makes the policy
-        # emit real words at every opportunity, so AL/LAAL measure the
-        # pipeline's structural emission latency (chunk-indexed, wall-clock
-        # independent; reference cli/streaming/evaluate.py:70)
-        mono_cfg_small = mono_cfg._replace(vocab_size=len(tok.spm) + 1 + 1)
-        mono_params_small = monotonic_decoder_init(jax.random.PRNGKey(6),
-                                                   mono_cfg_small, dtype=dtype)
-        # random weights argmax a fixed (often non-word) id; plant +-u rows on
-        # two WORD ids so every burst step emits a real word and the
-        # detokenizer flushes — AL/LAAL then measure the pipeline's structural
-        # emission latency under the EMMA policy at threshold 0
-        emb = np.zeros((mono_cfg_small.vocab_size, mono_cfg.model_dim),
-                       np.float32)
-        u = np.asarray(rng.standard_normal(mono_cfg.model_dim), np.float32)
-        emb[4], emb[5] = u, -u                     # two word pieces
-        mono_params_small["embed"]["embedding"] = jnp.asarray(emb, dtype)
+        # threshold 0 (structural floor): the planted word-row model (built in
+        # the S2ST block above) emits at every opportunity, so AL/LAAL measure
+        # the pipeline's structural emission latency (chunk-indexed,
+        # wall-clock independent; reference cli/streaming/evaluate.py:70)
         lat_pipe = build_s2t_pipeline(sparams, scfg, mono_params_small,
                                       mono_cfg_small, tok, tgt_lang="eng",
                                       decision_threshold=0.0, min_gen_len=12)
@@ -501,7 +537,196 @@ def main() -> None:
                                  segment_size_ms=320)
         extra["stream_AL_ms"] = round(lat["AL_ms"], 1)
         extra["stream_LAAL_ms"] = round(lat["LAAL_ms"], 1)
+        del lat_pipe
 
+        # ---- threshold-0.5 policy AL (VERDICT r03 item 10): a STRUCTURED
+        # planted model whose p_choose crosses 0.5 mid-utterance. The energy
+        # towers are planted so p_choose discriminates source CONTENT: q is a
+        # constant all-ones vector (zero weights, one-bias on the last tower
+        # layer), the k tower passes the pooled encoder key through (identity
+        # + positive-offset layers keep relu affine), and its last layer
+        # projects onto the probed silence->speech direction, scaled so
+        # silence chunks give p ~ sigmoid(-2.5) < 0.5 (READ) and speech chunks
+        # p ~ 1 (WRITE). On a silence-prefixed utterance the policy genuinely
+        # WAITS through the silent chunks and starts writing at speech onset,
+        # so the scored AL reflects the real threshold-0.5 decision path
+        # (models/monotonic/model.py p_choose; decision_method="min").
+        from seamless_communication_tpu.audio.fbank import (
+            FbankConfig, fbank_numpy,
+        )
+        from seamless_communication_tpu.models.monotonic.model import pool_keys
+        from seamless_communication_tpu.streaming.fused import (
+            encoder_output_length,
+        )
+
+        sil_s, sp_s = 3.2, 6.4
+        utt05 = np.concatenate([
+            np.zeros(int(sil_s * 16000), np.float32),
+            (rng.standard_normal(int(sp_s * 16000)) * 0.1).astype(np.float32)])
+        fb05 = fbank_numpy(utt05, FbankConfig(waveform_scale=1.0))
+        enc05 = unity.encode_speech(sparams, scfg,
+                                    jnp.asarray(fb05, dtype)[None],
+                                    jnp.array([fb05.shape[0]], jnp.int32))
+        ratio = mono_cfg.pre_decision_ratio
+        pooled = np.asarray(pool_keys(enc05.seqs.astype(jnp.float32),
+                                      ratio)[0])
+        n_valid = int(enc05.lengths[0]) // ratio
+        p_sil = encoder_output_length(scfg.speech,
+                                      int(sil_s * 100)) // ratio
+        m_sil = pooled[:max(p_sil - 1, 1)].mean(0)
+        m_sp = pooled[p_sil + 2:n_valid].mean(0)
+
+        Dm, n_e = mono_cfg.model_dim, mono_cfg.num_monotonic_energy_layers
+        L = mono_cfg.num_layers
+        OFF = 30.0                       # keeps relu affine: enc dims > -30
+        m3_sil, m3_sp = m_sil + OFF * (n_e - 1), m_sp + OFF * (n_e - 1)
+        d = m3_sp - m3_sil
+        d = d / np.linalg.norm(d)
+        # margin +-4 around the class means: a speech chunk stays above the
+        # p=0.5 point as long as its d-projection is within half the
+        # silence->speech gap of the speech mean
+        gamma = 8.0 / float(d @ (m3_sp - m3_sil))
+        bcoef = 4.0 - gamma * float(d @ m3_sp)
+        zw = jnp.zeros((L, Dm, Dm), dtype)
+        zb = jnp.zeros((L, Dm), dtype)
+        eye = jnp.broadcast_to(jnp.eye(Dm, dtype=dtype), (L, Dm, Dm))
+        offb = jnp.full((L, Dm), OFF, dtype)
+        w_last = jnp.broadcast_to(
+            jnp.asarray(np.tile((gamma * d)[:, None], (1, Dm)), dtype),
+            (L, Dm, Dm))
+        q_tower = ([{"weight": zw, "bias": zb} for _ in range(n_e - 1)]
+                   + [{"weight": zw, "bias": jnp.ones((L, Dm), dtype)}])
+        k_tower = ([{"weight": eye, "bias": offb} for _ in range(n_e - 1)]
+                   + [{"weight": w_last,
+                       "bias": jnp.full((L, Dm), bcoef, dtype)}])
+        mono05 = dict(mono_params_small)
+        mono05["layers"] = dict(mono_params_small["layers"])
+        mono05["layers"]["p_choose"] = {
+            "energy_bias": mono_params_small["layers"]["p_choose"]["energy_bias"],
+            "q_energy_proj": q_tower, "k_energy_proj": k_tower}
+        lat05_pipe = build_s2t_pipeline(sparams, scfg, mono05, mono_cfg_small,
+                                        tok, tgt_lang="eng",
+                                        decision_threshold=0.5, min_gen_len=12,
+                                        mono_quantize_int8=False)
+        lat05 = evaluate_streaming(lambda: lat05_pipe, [utt05],
+                                   tgt_lang="eng", segment_size_ms=320)
+        extra["stream_AL05_ms"] = round(lat05["AL_ms"], 1)
+        extra["stream_LAAL05_ms"] = round(lat05["LAAL_ms"], 1)
+
+    if section("stream"):
+        with _section_guard("stream"):
+            _stream_section()
+
+    # single-chip training throughput: S2T step with the big-model
+    # single-chip recipe — bf16 params, factored optimizer states
+    # (adafactor), per-layer activation remat. The recipe fits even v2-large
+    # (2.53B params) in one chip's 16 GB: BENCH_TRAIN_ARCH=base_v2
+    # BENCH_TRAIN_B=16 measured 2977 tok/s (fp32 + adam would not fit —
+    # that is what dp+tp meshes are for)
+    if section("train"):
+      with _section_guard("train"):
+            # free the serving state before allocating train state: the int8
+            # v2-large weights, vocoder weights (ALSO referenced by init_box —
+            # deleting the locals alone leaks them), stage executables and every
+            # jit-cache constant (the train step needs the full HBM budget)
+            init_box.clear()
+            del params, voc_params, compiled, lowered
+            import gc
+            import optax
+            from seamless_communication_tpu.train.trainer import make_train_step
+
+            gc.collect()
+            jax.clear_caches()
+            tcfg = get_arch(os.environ.get("BENCH_TRAIN_ARCH", "medium"))
+            opt = optax.adafactor(1e-4)
+            tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128
+
+            def _train_once(tb):
+                tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
+                                           dtype=jnp.bfloat16)
+                topt = opt.init(tparams)
+                batch = {
+                    "fbank": jnp.asarray(rng.standard_normal((tb, MAX_FRAMES, 80)),
+                                         jnp.float32),
+                    "fbank_lens": jnp.full((tb,), MAX_FRAMES, jnp.int32),
+                    "prev_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)),
+                                               jnp.int32),
+                    "target_tokens": jnp.asarray(rng.integers(4, 1000, (tb, tt)),
+                                                 jnp.int32),
+                    "target_lens": jnp.full((tb,), tt, jnp.int32),
+                }
+                tstep = jax.jit(make_train_step(tcfg, opt, remat=remat_mode))
+                tparams, topt, m = tstep(tparams, topt, batch)
+                float(m["loss"])
+                t0 = time.time()
+                n_steps = 3
+                for _ in range(n_steps):
+                    tparams, topt, m = tstep(tparams, topt, batch)
+                float(m["loss"])
+                return (time.time() - t0) / n_steps, tparams
+
+            # selective remat measured (scripts/ab_remat.py, one mode per
+            # process): full@b32 5263 tok/s = full@b48 5266 (HBM-bound plateau);
+            # "dots" (save MXU outputs) OOMs at b24+ and DEGRADES below b-scaled
+            # full under memory pressure (b8 5010, b12 4273 — near-capacity HBM
+            # spills); offload_dots OOMs. Full layer remat at the largest batch
+            # stays the best single-chip config; BENCH_TRAIN_REMAT overrides
+            # (full | dots | offload_dots) for re-measurement.
+            remat_mode = os.environ.get("BENCH_TRAIN_REMAT", "full")
+            # the serving sections above can leave the remote allocator
+            # fragmented; degrade the batch rather than abort the whole bench
+            while True:
+                try:
+                    dt, tparams = _train_once(tb)
+                    break
+                except Exception as e:  # jaxlib RESOURCE_EXHAUSTED
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    gc.collect()
+                    jax.clear_caches()
+                    if remat_mode == "dots":
+                        # saved dot outputs didn't fit: fall back to full layer
+                        # remat at the same batch before shrinking the batch
+                        remat_mode = "full"
+                    elif tb > 8:
+                        tb //= 2
+                    else:
+                        raise
+            extra["train_arch"] = os.environ.get("BENCH_TRAIN_ARCH", "medium")
+            extra["train_medium_batch"] = tb
+            extra["train_medium_step_s"] = round(dt, 3)
+            extra["train_medium_tokens_per_s"] = round(tb * tt / dt, 1)
+            extra["train_medium_audio_s_per_s"] = round(tb * AUDIO_SECONDS / dt, 2)
+
+            # model-FLOPs accounting -> MFU. 6*N*T matmul model (fwd 2NT + bwd
+            # 4NT) per component with ITS token count (encoder runs at the
+            # subsampled frame rate, decoder at text positions); remat re-runs
+            # the layer forwards once more (+2NT -> 8NT). Attention score/value
+            # matmuls (quadratic term) add 12*L*T^2*D per component — included;
+            # embedding gather excluded. Peak: TPU v5e bf16 = 197 TFLOP/s.
+            def _n(tree):
+                return sum(x.size for x in jax.tree.leaves(tree))
+
+            # full remat re-runs every layer forward in the backward (+2NT ->
+            # 8NT); "dots" saves the matmul outputs so the recompute adds no
+            # matmul FLOPs (6NT + elementwise)
+            fwd_bwd = 8.0 if remat_mode == "full" else 6.0
+            extra["train_remat"] = remat_mode
+            T_enc = MAX_FRAMES // 2                       # frontend stack /2
+            se, td = tparams["speech_encoder"], tparams["text_decoder"]
+            enc_flops = fwd_bwd * _n(se) * tb * T_enc
+            dec_flops = fwd_bwd * _n(td) * tb * tt        # incl. tied vocab proj
+            sp = tcfg.speech
+            attn = 12.0 * tb * (sp.conformer.num_layers * T_enc ** 2 * sp.model_dim
+                                + tcfg.nllb.num_decoder_layers * tt ** 2
+                                * tcfg.nllb.dim)
+            total_flops = enc_flops + dec_flops + attn
+            mfu = total_flops / dt / 197e12
+            extra["train_medium_model_tflops"] = round(total_flops / 1e12, 2)
+            extra["train_medium_mfu_pct"] = round(mfu * 100, 1)
+
+    # opt-in streaming latency: production dims (chunked streaming encoder +
+    # dense_1b EMMA monotonic decoder), warm ms per 320 ms chunk and xRT
     print(json.dumps({
         "metric": "s2st_rtf_v2_large_10s_worstcase",
         "value": round(rtf, 5),

@@ -9,6 +9,20 @@ from dataclasses import dataclass
 from typing import Any, List, Optional
 
 
+def host_prefetch(*arrays) -> None:
+    """Start device->host copies for every given jax array NOW, concurrently.
+
+    Each blocking ``np.asarray(device_array)`` is a separate round-trip through
+    the remote device tunnel; issuing ``copy_to_host_async`` on everything a
+    policy is about to fetch lets the transfers stream while the first fetch
+    blocks (the async copy is a no-op hint on backends without it)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+
+
 @dataclass
 class Segment:
     content: Any = None

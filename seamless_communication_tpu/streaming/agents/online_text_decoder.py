@@ -28,6 +28,7 @@ from seamless_communication_tpu.models.monotonic.model import (
 )
 from seamless_communication_tpu.streaming.agents.common import (
     AgentStates, GenericAgent, ReadAction, Segment, TextSegment, WriteAction,
+    host_prefetch,
 )
 from seamless_communication_tpu.text.nllb import NllbTokenizer
 
@@ -202,16 +203,24 @@ class MMATextDecoderAgent(GenericAgent):
                 jnp.asarray(self.max_len(states), jnp.int32),
                 jnp.asarray(len(context), jnp.int32),
                 bool(states.source_finished), self._enc_mask)
+            host_prefetch(toks, n_written, fin,
+                          *((ctx_feats, burst_feats)
+                            if self.needs_features else ()))
             n_written = int(n_written)
-            pred_indices = [int(t) for t in np.asarray(toks[:n_written])]
+            pred_indices = [int(t) for t in np.asarray(toks)[:n_written]]
             finished = bool(fin)
             step += n_written
             states.target_indices += pred_indices
             if len(pred_indices) > 0 or finished:
                 if self.needs_features:
                     feats.append(np.asarray(ctx_feats[0, :len(context)]))
-                    feats.extend(np.asarray(burst_feats[i])[None]
-                                 for i in range(n_written))
+                    if n_written:
+                        # ONE device->host transfer for the whole burst: a
+                        # per-token fetch is a separate RPC through the remote
+                        # device tunnel (~10 ms each — it dominated the S2ST
+                        # streaming chunk before batching)
+                        bf = np.asarray(burst_feats)[:n_written]
+                        feats.extend(bf[i][None] for i in range(n_written))
                 finished = finished or (len(states.target_indices)
                                         > self.max_len(states))
                 states.ngram_block_count = 0

@@ -20,6 +20,7 @@ from seamless_communication_tpu.models.unity.t2u import nar_t2u_forward
 from seamless_communication_tpu.models.unity.unit_tokenizer import UnitTokenizer
 from seamless_communication_tpu.streaming.agents.common import (
     AgentStates, GenericAgent, ReadAction, Segment, TextSegment, WriteAction,
+    host_prefetch,
 )
 from seamless_communication_tpu.streaming.agents.online_text_decoder import (
     UnitYTextDecoderOutput,
@@ -68,10 +69,15 @@ class NARUnitYUnitDecoderAgent(GenericAgent):
         self.d_factor = d_factor
         self.max_unit_len = max_unit_len
         self.text_bucket = text_bucket
-        self._t2u = jax.jit(
-            lambda p, feats, lens, cids, ccounts, df: nar_t2u_forward(
-                p["t2u"], cfg.nar_t2u, feats, lens, cids, ccounts,
-                max_unit_len=max_unit_len, duration_factor=df))
+        def _t2u(p, feats, lens, cids, ccounts, df):
+            out = nar_t2u_forward(p["t2u"], cfg.nar_t2u, feats, lens, cids,
+                                  ccounts, max_unit_len=max_unit_len,
+                                  duration_factor=df)
+            # argmax in-program: only durations + unit ids cross the
+            # device->host boundary, never the (U, vocab) logits
+            return out.durations, jnp.argmax(out.unit_logits, axis=-1)
+
+        self._t2u = jax.jit(_t2u)
         super().__init__(args)
 
     def build_states(self) -> NARUnitDecoderAgentStates:
@@ -96,10 +102,11 @@ class NARUnitYUnitDecoderAgent(GenericAgent):
         char_ids, char_lens, char_counts = text_to_char_seqs(
             self.text_tokenizer, self.char_tokenizer, ids,
             max_char_len=max(64, Tb * 12))
-        out = self._t2u(self.params, jnp.asarray(fpad),
-                        jnp.asarray([T], jnp.int32), jnp.asarray(char_ids),
-                        jnp.asarray(char_counts), self.d_factor)
-        durations = np.asarray(out.durations[0])
+        durs_dev, units_dev = self._t2u(
+            self.params, jnp.asarray(fpad), jnp.asarray([T], jnp.int32),
+            jnp.asarray(char_ids), jnp.asarray(char_counts), self.d_factor)
+        host_prefetch(durs_dev, units_dev)
+        durations = np.asarray(durs_dev[0])
         n_chars = int(char_lens[0])
         durations = durations[:n_chars]
 
@@ -117,7 +124,7 @@ class NARUnitYUnitDecoderAgent(GenericAgent):
                 return WriteAction(TextSegment(content=None, is_empty=True),
                                    finished=True)
 
-        unit_seqs = np.asarray(jnp.argmax(out.unit_logits[0], axis=-1))
+        unit_seqs = np.asarray(units_dev[0])
         offset = int(durations[:states.duration_start_index].sum())
         total = int(durations.sum())
         unit_seqs = unit_seqs[offset:total][None]

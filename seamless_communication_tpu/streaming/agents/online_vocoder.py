@@ -15,6 +15,7 @@ from seamless_communication_tpu.models.vocoder.codehifigan import (
 )
 from seamless_communication_tpu.streaming.agents.common import (
     AgentStates, GenericAgent, ReadAction, SpeechSegment, WriteAction,
+    host_prefetch,
 )
 
 
@@ -64,7 +65,8 @@ class VocoderAgent(GenericAgent):
         out = self._voc(self.params, jnp.asarray(arr),
                         jnp.asarray([units.size], jnp.int32),
                         jnp.asarray([lang_id]), jnp.asarray([spkr_id]))
-        wav = np.asarray(out.waveform[0, :int(out.sample_lengths[0])])
+        host_prefetch(out.waveform, out.sample_lengths)
+        wav = np.asarray(out.waveform)[0, :int(np.asarray(out.sample_lengths)[0])]
         return WriteAction(
             SpeechSegment(content=wav, sample_rate=self.sample_rate,
                           tgt_lang=tgt_lang, finished=states.source_finished),

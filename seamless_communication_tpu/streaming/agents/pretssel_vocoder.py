@@ -25,6 +25,7 @@ from seamless_communication_tpu.models.pretssel.vocoder import (
 )
 from seamless_communication_tpu.streaming.agents.common import (
     AgentStates, GenericAgent, ReadAction, SpeechSegment, WriteAction,
+    host_prefetch,
 )
 from seamless_communication_tpu.streaming.agents.online_vocoder import VocoderAgent
 
@@ -93,7 +94,8 @@ class PretsselVocoderAgent(GenericAgent):
                        jnp.asarray([len(toks)], jnp.int32), jnp.asarray(d_arr),
                        jnp.asarray(fpad), jnp.asarray([feats.shape[0]], jnp.int32),
                        jnp.asarray([self.lang_to_index[tgt_lang]]), M)
-        wav = np.asarray(out.waveform[0, :int(out.sample_lengths[0])])
+        host_prefetch(out.waveform, out.sample_lengths)
+        wav = np.asarray(out.waveform)[0, :int(np.asarray(out.sample_lengths)[0])]
         return WriteAction(
             SpeechSegment(content=wav, sample_rate=self.sample_rate,
                           tgt_lang=tgt_lang, finished=states.source_finished),

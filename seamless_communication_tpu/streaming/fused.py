@@ -38,7 +38,7 @@ from seamless_communication_tpu.models.wav2vec2.encoder import (
     SpeechEncoderConfig, adaptor_out_length,
 )
 from seamless_communication_tpu.streaming.agents.common import (
-    ReadAction, Segment, TextSegment, WriteAction,
+    ReadAction, Segment, TextSegment, WriteAction, host_prefetch,
 )
 from seamless_communication_tpu.streaming.agents.online_text_decoder import (
     DecoderAgentStates, MMATextDecoderAgent, UnitYMMATextDecoderAgent,
@@ -260,8 +260,10 @@ class FusedMMASpeechToTextDecoderAgent(MMATextDecoderAgent):
                         jnp.asarray(fbank.shape[0], jnp.int32),
                         jnp.asarray(ctx), jnp.asarray(len(context), jnp.int32),
                         bool(states.source_finished))
+        host_prefetch(toks, n_written, fin,
+                      *((ctx_feats, burst_feats) if self.needs_features else ()))
         n_written = int(n_written)
-        pred_indices = [int(t) for t in np.asarray(toks[:n_written])]
+        pred_indices = [int(t) for t in np.asarray(toks)[:n_written]]
         finished = bool(fin)
         step = len(context) + n_written
         states.target_indices += pred_indices
@@ -269,8 +271,11 @@ class FusedMMASpeechToTextDecoderAgent(MMATextDecoderAgent):
             feats: List[np.ndarray] = []
             if self.needs_features:
                 feats.append(np.asarray(ctx_feats[0, :len(context)]))
-                feats.extend(np.asarray(burst_feats[i])[None]
-                             for i in range(n_written))
+                if n_written:
+                    # ONE transfer for the whole burst (per-token fetches are
+                    # per-RPC through the remote device tunnel)
+                    bf = np.asarray(burst_feats)[:n_written]
+                    feats.extend(bf[i][None] for i in range(n_written))
             finished = finished or (len(states.target_indices)
                                     > self.max_len(states))
             return WriteAction(
@@ -428,6 +433,8 @@ class IncrementalFusedMMASpeechToTextDecoderAgent(FusedMMASpeechToTextDecoderAge
             jnp.asarray(decode_nv, jnp.int32),
             jnp.asarray(ctx), jnp.asarray(len(context), jnp.int32),
             bool(states.source_finished))
+        host_prefetch(toks, n_written, fin,
+                      *((ctx_feats, burst_feats) if self.needs_features else ()))
         decode_stacked = states.n_stacked + decode_nv
         if commit_decode:
             states.enc_state = new_enc_state
@@ -444,7 +451,7 @@ class IncrementalFusedMMASpeechToTextDecoderAgent(FusedMMASpeechToTextDecoderAge
         self._last_decode_stacked = decode_stacked
 
         n_written = int(n_written)
-        pred_indices = [int(t) for t in np.asarray(toks[:n_written])]
+        pred_indices = [int(t) for t in np.asarray(toks)[:n_written]]
         finished = bool(fin)
         step = len(context) + n_written
         states.target_indices += pred_indices
@@ -452,8 +459,11 @@ class IncrementalFusedMMASpeechToTextDecoderAgent(FusedMMASpeechToTextDecoderAge
             feats: List[np.ndarray] = []
             if self.needs_features:
                 feats.append(np.asarray(ctx_feats[0, :len(context)]))
-                feats.extend(np.asarray(burst_feats[i])[None]
-                             for i in range(n_written))
+                if n_written:
+                    # ONE transfer for the whole burst (per-token fetches are
+                    # per-RPC through the remote device tunnel)
+                    bf = np.asarray(burst_feats)[:n_written]
+                    feats.extend(bf[i][None] for i in range(n_written))
             finished = finished or (len(states.target_indices)
                                     > self.max_len(states))
             return WriteAction(
