@@ -516,6 +516,20 @@ def main() -> None:
             s2st_wall / n_chunks * 1000, 1)
         extra["stream_s2st_out_audio_s"] = round(s2st_nwav / 16000.0, 2)
 
+        # StartOffset/EndOffset through the evaluator's speech scorer
+        # (reference cli/streaming/evaluate.py:91-93) on the warm pipeline —
+        # same utterance, so the incremental executables are all hot
+        from seamless_communication_tpu.streaming.evaluator import (
+            evaluate_streaming as _eval_stream,
+        )
+        with _section_guard("stream_offsets"):
+            off = _eval_stream(lambda: s2st_pipe, [swav], tgt_lang="eng",
+                               segment_size_ms=320, output_is_speech=True)
+            for k, v in (("stream_s2st_start_offset_ms", off["StartOffset_ms"]),
+                         ("stream_s2st_end_offset_ms", off["EndOffset_ms"])):
+                if np.isfinite(v):      # NaN would break the one-line JSON
+                    extra[k] = round(float(v), 1)
+
         # latency metrics through the SAME evaluator the streaming_evaluate
         # CLI uses (AL/LAAL over emitted tokens; reference evaluate.py:70) on
         # a small synthetic set — policy delays are weight-dependent, wall
