@@ -80,7 +80,8 @@ class _Session:
     __slots__ = ("sid", "slot", "tgt_lang", "prefix", "feat_agent",
                  "feat_states", "fbank", "fb_consumed", "n_stacked",
                  "last_decode_stacked", "target_indices", "source_finished",
-                 "target_finished", "out", "active")
+                 "target_finished", "out", "active", "tick_due",
+                 "pushed_since_step")
 
     def __init__(self, sid: int, slot: int, tgt_lang: str, prefix: List[int],
                  feat_agent: OnlineFeatureExtractorAgent):
@@ -99,6 +100,8 @@ class _Session:
         self.target_finished = False
         self.out: List[PooledSegment] = []
         self.active = True
+        self.tick_due = False          # feature agent WROTE since last plan
+        self.pushed_since_step = False  # suppresses the drain pump this step
 
     @property
     def fb_len(self) -> int:
@@ -129,7 +132,12 @@ class BatchedStreamingPool:
                  decision_threshold: float = 0.5,
                  decision_method: str = "min", p_choose_start_layer: int = 0,
                  max_target_len: int = 512, min_gen_len: int = 0,
-                 denormalize: bool = False):
+                 denormalize: bool = False,
+                 mono_quantize_int8: Optional[bool] = None):
+        from seamless_communication_tpu.streaming.pipeline import (
+            _maybe_quantize_mono,
+        )
+        mono_params = _maybe_quantize_mono(mono_params, mono_quantize_int8)
         sp = unity_cfg.speech
         if not (sp.chunk_size and sp.left_chunk_num == -1
                 and sp.conformer.causal_depthwise_conv):
@@ -222,6 +230,26 @@ class BatchedStreamingPool:
         sess = self._sessions.pop(sid)
         self._slot_owner[sess.slot] = None
 
+    def _feat_tick(self, sess: _Session, seg) -> None:
+        """One feature-extractor cycle (the pipeline's push+pop on the fbank
+        agent): accumulate any written fbank, arm the decode tick iff the
+        agent WROTE (a ReadAction means the downstream decoder is not polled
+        this cycle — AgentPipeline.process stops at an empty unfinished
+        segment, agents/common.py:141-149)."""
+        from seamless_communication_tpu.streaming.agents.common import (
+            Segment, WriteAction,
+        )
+        sess.feat_states.update_source(seg)
+        action = sess.feat_agent.policy(sess.feat_states)
+        if isinstance(action, WriteAction):
+            sess.tick_due = True
+            out = action.content
+            if (isinstance(out, Segment) and not out.is_empty
+                    and out.content is not None):
+                fb = np.asarray(out.content, np.float32)
+                if fb.ndim == 2 and fb.shape[0]:
+                    sess.fbank.append(fb)
+
     def push(self, sid: int, samples: np.ndarray, *,
              finished: bool = False) -> None:
         """Feed a chunk of 16 kHz samples (int16-scaled floats unless the pool
@@ -234,18 +262,17 @@ class BatchedStreamingPool:
         # host fbank extraction with residual-sample carry (reference
         # online_feature_extractor.py semantics, shared agent implementation)
         from seamless_communication_tpu.streaming.agents.common import (
-            SpeechSegment,
+            EmptySegment, SpeechSegment,
         )
-        seg = SpeechSegment(content=np.asarray(samples, np.float32),
-                            finished=finished, tgt_lang=sess.tgt_lang)
-        sess.feat_states.update_source(seg)
-        action = sess.feat_agent.policy(sess.feat_states)
-        if hasattr(action, "segment") and action.segment.content is not None \
-                and not action.segment.is_empty:
-            fb = np.asarray(action.segment.content, np.float32)
-            if fb.shape[0]:
-                sess.fbank.append(fb)
+        samples = np.asarray(samples, np.float32)
+        if samples.size == 0:
+            seg = EmptySegment(finished=finished, tgt_lang=sess.tgt_lang)
+        else:
+            seg = SpeechSegment(content=list(samples), finished=finished,
+                                tgt_lang=sess.tgt_lang)
+        self._feat_tick(sess, seg)
         sess.source_finished = finished
+        sess.pushed_since_step = True
 
     # -- the batched tick --------------------------------------------------
 
@@ -260,7 +287,7 @@ class BatchedStreamingPool:
         rebuilt from the accumulated context every chunk, so a skipped decode
         is exact), the LAST pending full block (or the padded partial / the
         post-EOS drain block) is the decode block."""
-        if not sess.active or sess.target_finished:
+        if not sess.active or sess.target_finished or not sess.tick_due:
             return []
         total = sess.fb_len
         if (self.min_starting_wait is not None
@@ -308,9 +335,32 @@ class BatchedStreamingPool:
     def step(self) -> None:
         """Process every session's pending audio to its decode point. Each
         inner iteration batches one block per session into ONE compiled
-        program over all n_slots (masked slots run zero frames)."""
+        program over all n_slots (masked slots run zero frames).
+
+        Sessions whose source has finished but whose target has not get a
+        drain pump first — an EmptySegment cycled through the feature
+        extractor, exactly what the single-session pipeline does after EOS
+        (StreamingSession.run's drain loop). This is deliberately
+        bug-compatible with the reference: the feature agent re-extracts
+        ``previous_residual_samples + source[-1]`` on EVERY post-EOS cycle
+        (reference online_feature_extractor.py:106-131 keys off
+        ``states.source[-1]``, which no longer advances), so each drain tick
+        grows the decoder's fbank view just as the single-session agents
+        see it — required for token-for-token equality."""
+        from seamless_communication_tpu.streaming.agents.common import (
+            EmptySegment,
+        )
+        for sess in self._sessions.values():
+            if (sess.active and sess.source_finished
+                    and not sess.target_finished
+                    and not sess.pushed_since_step):
+                self._feat_tick(sess, EmptySegment(finished=True,
+                                                   tgt_lang=sess.tgt_lang))
+            sess.pushed_since_step = False
         queues = {sid: self._plan(sess)
                   for sid, sess in self._sessions.items()}
+        for sess in self._sessions.values():
+            sess.tick_due = False
         while True:
             batch = {sid: q.pop(0) for sid, q in queues.items() if q}
             if not batch:
