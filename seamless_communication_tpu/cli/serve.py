@@ -7,6 +7,14 @@ POST /v1/translate {"task": "s2tt"|"t2tt"|"asr"|"s2st"|"t2st",
                     "text"? | "audio_b64"? (16 kHz WAV, base64)}
 GET  /healthz
 
+With ``--streaming N`` the server also multiplexes up to N LIVE streaming S2T
+sessions over the same chip through BatchedStreamingPool (streaming/multi.py):
+
+POST /v1/stream/open  {"tgt_lang"}                       -> {"session_id"}
+POST /v1/stream/push  {"session_id","audio_b64"|"samples","finished"?}
+POST /v1/stream/poll  {"session_id"}
+POST /v1/stream/close {"session_id"}
+
 (The reference has no serving path — inference/serving.py is TPU-native new
 surface; see docstring there for the batching model.)
 """
@@ -36,6 +44,19 @@ def main() -> None:
                              "pre-compile before accepting traffic, e.g. "
                              "'s2tt:spa,t2tt:fra:eng' (first request otherwise "
                              "pays the jit compile)")
+    parser.add_argument("--streaming", type=int, default=0, metavar="N",
+                        help="enable N concurrent live streaming S2T sessions "
+                             "(BatchedStreamingPool slots); requires a "
+                             "chunk-causal streaming unity card "
+                             "(--stream_unity_name)")
+    parser.add_argument("--stream_unity_name", type=str,
+                        default="seamless_streaming_unity")
+    parser.add_argument("--stream_monotonic_name", type=str,
+                        default="seamless_streaming_monotonic_decoder")
+    parser.add_argument("--stream_tick_ms", type=int, default=40,
+                        help="pool drain cadence after a session's source "
+                             "ends")
+    parser.add_argument("--stream_local_hf_path", type=str, default=None)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. 'cpu'); note that "
                              "JAX_PLATFORMS env vars are ignored when a "
@@ -90,8 +111,30 @@ def main() -> None:
             for f in [ex.submit(warm, s) for s in specs]:
                 f.result()
 
+    stream_pool = None
+    if args.streaming > 0:
+        from seamless_communication_tpu.cli.loading import (
+            load_monotonic_decoder,
+        )
+        from seamless_communication_tpu.streaming.multi import (
+            BatchedStreamingPool,
+        )
+        s_params, s_cfg, s_text_tok, _, _ = load_unity_model_and_tokenizers(
+            args.stream_unity_name,
+            local_hf_path=args.stream_local_hf_path or args.local_hf_path,
+            quantize=args.quantize)
+        mono_params, mono_cfg = load_monotonic_decoder(
+            args.stream_monotonic_name)
+        # server audio arrives as [-1, 1] floats (decoded WAV), so the fbank
+        # front end denormalizes to 16-bit scale (reference streaming inputs)
+        stream_pool = BatchedStreamingPool(
+            s_params, s_cfg, mono_params, mono_cfg, s_text_tok,
+            n_slots=args.streaming, denormalize=True,
+            mono_quantize_int8=args.quantize or None)
+
     server = serve(translator, host=args.host, port=args.port,
-                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                   stream_pool=stream_pool, stream_tick_ms=args.stream_tick_ms)
     try:
         threading.Event().wait()  # serve() runs in a background thread; block
     except KeyboardInterrupt:

@@ -440,3 +440,6 @@ class BatchedStreamingPool:
 
     def session_finished(self, sid: int) -> bool:
         return self._sessions[sid].target_finished
+
+    def session_source_finished(self, sid: int) -> bool:
+        return self._sessions[sid].source_finished

@@ -167,6 +167,66 @@ def test_pool_staggered_sessions(setup):
     assert pool.session_tokens(b) == want_b
 
 
+def test_pool_http_serving(setup):
+    """The serve() streaming routes (inference/serving.py StreamingPoolService)
+    must drive >=2 CONCURRENT sessions through one pool over a real socket,
+    each matching its single-session oracle token-for-token."""
+    import json
+    import threading
+    import urllib.request
+
+    from seamless_communication_tpu.inference.serving import serve
+
+    s = setup
+    wavs = {"a": wave(300), "b": wave(440, seconds=1.5)}
+    want = {k: single_session_tokens(s, w) for k, w in wavs.items()}
+
+    pool = make_pool(s, n_slots=4)
+    srv = serve(stream_pool=pool, port=0, stream_tick_ms=10)
+    port = srv.server_address[1]
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/stream/{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    results = {}
+
+    def client(key):
+        w = wavs[key]
+        sid = post("open", {"tgt_lang": "eng"})["session_id"]
+        toks = []
+        n = max(1, -(-len(w) // SEG))
+        for i in range(n):
+            out = post("push", {"session_id": sid,
+                                "samples": w[i * SEG:(i + 1) * SEG].tolist(),
+                                "finished": i == n - 1})
+            toks += [t for g in out["segments"] for t in g["tokens"]]
+        for _ in range(256):
+            out = post("poll", {"session_id": sid})
+            toks += [t for g in out["segments"] for t in g["tokens"]]
+            if out["finished"]:
+                break
+        post("close", {"session_id": sid})
+        results[key] = toks
+
+    try:
+        threads = [threading.Thread(target=client, args=(k,)) for k in wavs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        srv.shutdown()
+        srv.stream_service.stop()
+
+    assert results["a"] == want["a"]
+    assert results["b"] == want["b"]
+
+
 def test_pool_slot_reuse(setup):
     """Closing a finished session and opening a new one must reuse the slot
     with fully reset state (encoder stream, fbank residuals, prefix)."""
