@@ -461,6 +461,51 @@ def main() -> None:
         extra["stream_ms_per_chunk"] = round(wall / n_chunks * 1000, 1)
         extra["stream_xrt"] = round(wall / 10.0, 3)
 
+        # ---- batched multi-session pool (VERDICT r04 item 1): N concurrent
+        # streaming sessions over ONE chip via streaming/multi.py — every
+        # 320 ms arrival interval runs a single vmapped chunk program for all
+        # slots. The single-session chunk uses ~60 ms of the 320 ms budget;
+        # this scores how much of the idle chip the pool reclaims
+        # (token equality pinned in tests/integration/test_streaming_multi.py).
+        with _section_guard("stream_pool"):
+            from seamless_communication_tpu.streaming.multi import (
+                BatchedStreamingPool,
+            )
+            N_SLOTS = int(os.environ.get("BENCH_POOL_SLOTS", "8"))
+            pool = BatchedStreamingPool(sparams, scfg, mono_params, mono_cfg,
+                                        tok, n_slots=N_SLOTS)
+            SEG = int(0.320 * 16000)
+
+            def pool_once():
+                t0 = time.time()
+                sids = [pool.open_session(tgt_lang="eng")
+                        for _ in range(N_SLOTS)]
+                for i in range(n_chunks):
+                    for s in sids:
+                        pool.push(s, swav[i * SEG:(i + 1) * SEG],
+                                  finished=(i == n_chunks - 1))
+                    pool.step()
+                    for s in sids:
+                        pool.pop(s)
+                d = 0
+                while (not all(pool.session_finished(s) for s in sids)
+                       and d < 128):
+                    pool.step()
+                    d += 1
+                w = time.time() - t0
+                for s in sids:
+                    pool.close_session(s)
+                return w
+
+            pool_once()                  # cold (compiles the vmapped chunk)
+            pw = pool_once()             # warm
+            extra["stream_pool_slots"] = N_SLOTS
+            extra["stream_pool_ms_per_chunk"] = round(pw / n_chunks * 1000, 1)
+            extra["stream_pool_audio_s_per_s"] = round(
+                N_SLOTS * 10.0 / pw, 1)
+            extra["stream_pool_xrt"] = round(pw / 10.0, 3)
+            del pool
+
         # ---- full S2ST streaming chunk (VERDICT r03 item 4): EMMA chunk +
         # NAR T2U re-run + unit-vocoder synth per 320 ms chunk (reference
         # online_unit_decoder.py:94-147 + online_vocoder.py:43-69), timed at
@@ -529,6 +574,44 @@ def main() -> None:
                          ("stream_s2st_end_offset_ms", off["EndOffset_ms"])):
                 if np.isfinite(v):      # NaN would break the one-line JSON
                     extra[k] = round(float(v), 1)
+
+        # ---- expressive streaming chunk (VERDICT r04 item 5): EMMA chunk +
+        # NAR units + PRETSSEL mel synth + prosody fbank of the accumulated
+        # source EVERY chunk (reference streaming/agents/seamless_s2st.py:35-77,
+        # pretssel_vocoder.py) at the worst case (threshold 0: a write burst
+        # and a synth every chunk). PRETSSEL is the production 16 kHz config.
+        with _section_guard("stream_expressive"):
+            from seamless_communication_tpu.models.pretssel.vocoder import (
+                PretsselConfig, pretssel_init,
+            )
+            from seamless_communication_tpu.streaming.pipeline import (
+                build_expressive_s2st_pipeline,
+            )
+            pcfg = PretsselConfig()
+            pparams_s = pretssel_init(jax.random.PRNGKey(2), pcfg, dtype=dtype)
+            exp_pipe = build_expressive_s2st_pipeline(
+                sparams, scfg, mono_params_small, mono_cfg_small, tok,
+                unit_tok_s, char_tok_s, pparams_s, pcfg, {"eng": 0},
+                np.zeros(80, np.float32), np.ones(80, np.float32),
+                tgt_lang="eng", decision_threshold=0.0,
+                min_unit_chunk_size=10)
+
+            def exp_once():
+                t0 = time.time()
+                n_wav = 0
+                for _, seg in StreamingSession(exp_pipe, segment_size_ms=320,
+                                               tgt_lang="eng").run(swav):
+                    if (getattr(seg, "sample_rate", None)
+                            and seg.content is not None):
+                        n_wav += np.asarray(seg.content).size
+                return time.time() - t0, n_wav
+
+            exp_once()                       # cold (compiles)
+            ew, en = exp_once()              # warm
+            extra["stream_expressive_ms_per_chunk"] = round(
+                ew / n_chunks * 1000, 1)
+            extra["stream_expressive_out_audio_s"] = round(en / 16000.0, 2)
+            del exp_pipe, pparams_s
 
         # latency metrics through the SAME evaluator the streaming_evaluate
         # CLI uses (AL/LAAL over emitted tokens; reference evaluate.py:70) on
@@ -655,11 +738,8 @@ def main() -> None:
             opt = optax.adafactor(1e-4)
             tb, tt = int(os.environ.get("BENCH_TRAIN_B", "32")), 128
 
-            def _train_once(tb):
-                tparams = unity.unity_init(jax.random.PRNGKey(3), tcfg,
-                                           dtype=jnp.bfloat16)
-                topt = opt.init(tparams)
-                batch = {
+            def _s2t_batch(bcfg, tb):
+                return {
                     "fbank": jnp.asarray(rng.standard_normal((tb, MAX_FRAMES, 80)),
                                          jnp.float32),
                     "fbank_lens": jnp.full((tb,), MAX_FRAMES, jnp.int32),
@@ -669,7 +749,38 @@ def main() -> None:
                                                  jnp.int32),
                     "target_lens": jnp.full((tb,), tt, jnp.int32),
                 }
-                tstep = jax.jit(make_train_step(tcfg, opt, remat=remat_mode))
+
+            def _s2s_batch(bcfg, tb):
+                # NAR T2U finetune targets (manifest -> aligner durations):
+                # 2 chars/token x 2 units/char, uniform — static shapes only
+                C, U = 2 * tt, 4 * tt
+                b = _s2t_batch(bcfg, tb)
+                ucfg = bcfg.nar_t2u
+                b.update({
+                    "char_ids": jnp.asarray(
+                        rng.integers(4, ucfg.char_vocab_size, (tb, C)),
+                        jnp.int32),
+                    "char_counts": jnp.full((tb, tt), 2, jnp.int32),
+                    "target_durations": jnp.full((tb, C), 2, jnp.int32),
+                    "target_units": jnp.asarray(
+                        rng.integers(4, ucfg.unit_vocab_size, (tb, U)),
+                        jnp.int32),
+                })
+                return b
+
+            def _train_once(bcfg, tb, batch_fn, mode=None, tparams=None):
+                from seamless_communication_tpu.train.trainer import (
+                    FinetuneMode,
+                )
+                if tparams is None:
+                    tparams = unity.unity_init(jax.random.PRNGKey(3), bcfg,
+                                               dtype=jnp.bfloat16)
+                topt = opt.init(tparams)
+                batch = batch_fn(bcfg, tb)
+                tstep = jax.jit(make_train_step(
+                    bcfg, opt, remat=remat_mode,
+                    mode=FinetuneMode.SPEECH_TO_SPEECH if mode == "s2s"
+                    else None))
                 tparams, topt, m = tstep(tparams, topt, batch)
                 float(m["loss"])
                 t0 = time.time()
@@ -691,7 +802,7 @@ def main() -> None:
             # fragmented; degrade the batch rather than abort the whole bench
             while True:
                 try:
-                    dt, tparams = _train_once(tb)
+                    dt, tparams = _train_once(tcfg, tb, _s2t_batch)
                     break
                 except Exception as e:  # jaxlib RESOURCE_EXHAUSTED
                     if "RESOURCE_EXHAUSTED" not in str(e):
@@ -727,17 +838,78 @@ def main() -> None:
             fwd_bwd = 8.0 if remat_mode == "full" else 6.0
             extra["train_remat"] = remat_mode
             T_enc = MAX_FRAMES // 2                       # frontend stack /2
-            se, td = tparams["speech_encoder"], tparams["text_decoder"]
-            enc_flops = fwd_bwd * _n(se) * tb * T_enc
-            dec_flops = fwd_bwd * _n(td) * tb * tt        # incl. tied vocab proj
-            sp = tcfg.speech
-            attn = 12.0 * tb * (sp.conformer.num_layers * T_enc ** 2 * sp.model_dim
-                                + tcfg.nllb.num_decoder_layers * tt ** 2
-                                * tcfg.nllb.dim)
-            total_flops = enc_flops + dec_flops + attn
-            mfu = total_flops / dt / 197e12
-            extra["train_medium_model_tflops"] = round(total_flops / 1e12, 2)
-            extra["train_medium_mfu_pct"] = round(mfu * 100, 1)
+
+            def _model_flops(bcfg, tp, b, step_s):
+                se, td = tp["speech_encoder"], tp["text_decoder"]
+                enc_flops = fwd_bwd * _n(se) * b * T_enc
+                dec_flops = fwd_bwd * _n(td) * b * tt     # incl. tied vocab proj
+                sp = bcfg.speech
+                attn = 12.0 * b * (sp.conformer.num_layers * T_enc ** 2
+                                   * sp.model_dim
+                                   + bcfg.nllb.num_decoder_layers * tt ** 2
+                                   * bcfg.nllb.dim)
+                total = enc_flops + dec_flops + attn
+                return round(total / 1e12, 2), round(total / step_s / 197e12
+                                                     * 100, 1)
+
+            tflops, mfu = _model_flops(tcfg, tparams, tb, dt)
+            extra["train_medium_model_tflops"] = tflops
+            extra["train_medium_mfu_pct"] = mfu
+
+    # v2-large (2.3B) single-chip training + the NAR T2U (S2S) finetune step
+    # (VERDICT r04 item 4): same recipe (bf16 + adafactor + full remat). The
+    # S2S step — manifest -> aligner-duration targets, the capability the
+    # reference trainer lacks (cli/m4t/finetune/trainer.py raises
+    # NotImplementedError for T2U) — reuses the v2-large params.
+    if section("train_v2large"):
+      with _section_guard("train_v2large"):
+            import gc
+            del tparams
+            gc.collect()
+            jax.clear_caches()
+            tcfg_l = get_arch("base_v2")
+            tb_l = int(os.environ.get("BENCH_TRAIN_B_LARGE", "16"))
+            while True:
+                try:
+                    dt_l, tparams_l = _train_once(tcfg_l, tb_l, _s2t_batch)
+                    break
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e) or tb_l <= 4:
+                        raise
+                    gc.collect()
+                    jax.clear_caches()
+                    tb_l //= 2
+            extra["train_v2large_batch"] = tb_l
+            extra["train_v2large_step_s"] = round(dt_l, 3)
+            extra["train_v2large_tokens_per_s"] = round(tb_l * tt / dt_l, 1)
+            tflops_l, mfu_l = _model_flops(tcfg_l, tparams_l, tb_l, dt_l)
+            extra["train_v2large_model_tflops"] = tflops_l
+            extra["train_v2large_mfu_pct"] = mfu_l
+
+            if section("train_s2s"):
+                with _section_guard("train_s2s"):
+                    gc.collect()
+                    jax.clear_caches()
+                    tb_s = int(os.environ.get("BENCH_TRAIN_B_S2S", "8"))
+                    while True:
+                        try:
+                            dt_s, _ = _train_once(tcfg_l, tb_s, _s2s_batch,
+                                                  mode="s2s",
+                                                  tparams=tparams_l)
+                            break
+                        except Exception as e:
+                            if ("RESOURCE_EXHAUSTED" not in str(e)
+                                    or tb_s <= 2):
+                                raise
+                            gc.collect()
+                            jax.clear_caches()
+                            tb_s //= 2
+                    U = 4 * tt
+                    extra["train_s2s_batch"] = tb_s
+                    extra["train_s2s_step_s"] = round(dt_s, 3)
+                    # loss tokens = text + units (+1 dur token/char, excluded)
+                    extra["train_s2s_tokens_per_s"] = round(
+                        tb_s * (tt + U) / dt_s, 1)
 
     # opt-in streaming latency: production dims (chunked streaming encoder +
     # dense_1b EMMA monotonic decoder), warm ms per 320 ms chunk and xRT

@@ -458,7 +458,28 @@ def check_multiple_tasks_v2(ctx: Ctx):
     asr_text, _ = tr.predict(np.asarray(spa_speech.audio_wavs[0]), "asr", "spa")
     if ctx.selftest:
         assert isinstance(spa_text[0], str) and isinstance(asr_text[0], str)
-        return "t2st/s2st/asr round trip executed (selftest)"
+        # drive the QUALITY-SCORER plumbing too (VERDICT r04 item 7): the
+        # own-ASR ASR-BLEU route (cli/eval_utils.py compute_asr_bleu with a
+        # Translator-backed transcribe callable) must have fired once before
+        # weights day. The score itself is meaningless on random weights —
+        # only finiteness and a clean (warning-free) pass are asserted.
+        from seamless_communication_tpu.cli.eval_utils import (
+            compute_asr_bleu, compute_quality_metrics,
+        )
+
+        def transcribe(wavs):
+            texts, _ = tr.predict([np.asarray(w, np.float32) for w in wavs],
+                                  "asr", "spa")
+            return [str(t) for t in texts]
+
+        bleu = compute_asr_bleu([np.asarray(spa_speech.audio_wavs[0])],
+                                ["hola mundo"], transcribe=transcribe,
+                                lang="spa")
+        qm = compute_quality_metrics([asr_text[0] or ""], ["hola mundo"],
+                                     lang="spa", task="ASR")
+        assert np.isfinite(bleu) and np.isfinite(qm["wer"])
+        return (f"t2st/s2st/asr round trip + ASR-BLEU/WER scorers executed "
+                f"(selftest)")
     assert spa_text[0] == SPA_SENTENCE, f"got: {spa_text[0]!r}"
     assert asr_text[0] == SPA_SENTENCE, f"got: {asr_text[0]!r}"
     return "t2st/s2st/asr Spanish round trip matches"

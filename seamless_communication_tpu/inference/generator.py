@@ -278,7 +278,15 @@ class UnitYGenerator:
         (reference generator.py:306-314); ignored for non-expressive configs."""
         T = _bucket(int(text_lens.max()), 16)
         ids = jnp.asarray(text_tokens[:, :T])
-        feats = self._redecode_fn()(self.params, ids, jnp.asarray(text_lens),
+        # reference generator.py:283-288 pads hypotheses then drops the FINAL
+        # COLUMN before the redecode/t2u pass: the longest row(s) lose their
+        # trailing EOS position, shorter rows keep theirs visible (their EOS
+        # sits before the trimmed column). HF transformers reproduces the
+        # same rule (sequences[:, :-1] + seq_lens from != pad). Matched here
+        # exactly — cross-checked end-to-end vs hf generate in
+        # tests/integration/test_hf_conversion.py.
+        t2u_lens = text_lens - (text_lens == int(text_lens.max()))
+        feats = self._redecode_fn()(self.params, ids, jnp.asarray(t2u_lens),
                                     enc.seqs, enc.lengths)
 
         if self.cfg.nar_t2u is not None:
@@ -299,7 +307,7 @@ class UnitYGenerator:
             pl = jnp.asarray(prosody_lens) if with_prosody else \
                 jnp.ones((ids.shape[0],), jnp.int32)
             units, unit_lens, durs = self._nar_t2u_fn(max_unit_len, with_prosody)(
-                self.params, feats, jnp.asarray(text_lens), jnp.asarray(char_ids),
+                self.params, feats, jnp.asarray(t2u_lens), jnp.asarray(char_ids),
                 jnp.asarray(char_counts), duration_factor, pf, pl)
             units = np.asarray(units)
             unit_lens = np.asarray(unit_lens)
@@ -311,7 +319,7 @@ class UnitYGenerator:
                 np.array([[tcfg.eos_idx, self.unit_tokenizer.lang_to_index(tgt_lang)]],
                          np.int32), (text_tokens.shape[0], 1))
             res = self._ar_t2u_fn(max_unit_len, unit_opts_override)(
-                self.params, feats, jnp.asarray(text_lens), jnp.asarray(prefix),
+                self.params, feats, jnp.asarray(t2u_lens), jnp.asarray(prefix),
                 jnp.full((prefix.shape[0],), 2, jnp.int32))
             units = np.asarray(res.tokens[:, 0])
             unit_lens = np.asarray(res.lengths[:, 0])

@@ -130,8 +130,11 @@ class Translator:
         feats = [fbank_numpy(w, self.fbank_cfg) for w in wavs]
         if self.normalize_fbank == "utterance":
             # fairseq2 WaveformToFbankConverter standardize=True: per-utterance
-            # global mean/std (translator.py:136-146)
+            # global mean/std (translator.py:136-146); zero-frame inputs (an
+            # upstream stage emitted no audio) pass through unnormalized
+            # instead of warning on an empty mean
             feats = [((f - f.mean()) / (f.std() + 1e-7)).astype(np.float32)
+                     if f.size else f.astype(np.float32)
                      for f in feats]
         elif self.normalize_fbank == "per_mel_bin":
             feats = [normalize_per_mel_bin(f) for f in feats]

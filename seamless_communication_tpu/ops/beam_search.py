@@ -215,7 +215,17 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
                 top_scores, top_idx = jax.lax.top_k(flat, 2 * K)        # (B,2K)
             src_beam = top_idx // vocab_size
             tok = (top_idx % vocab_size).astype(jnp.int32)
-        is_eos = (tok == opts.eos_idx) & ~jnp.broadcast_to(in_prefix, (B, 2 * K))
+        is_eos = ((tok == opts.eos_idx)
+                  & ~jnp.broadcast_to(in_prefix, (B, 2 * K))
+                  & (top_scores > NEG_INF / 2))   # cpp: tok_score != -INF
+        # Only EOS candidates ranked within the top K finalize — the fairseq
+        # convention (fairseq sequence_generator.py eos_mask[:, :beam_size];
+        # HF transformers _update_finished_beams top_num_beam_mask). The cpp
+        # walk (fairseq2.cpp:1545-1560) finalizes any EOS encountered before
+        # K ongoing beams are collected — a superset that differs only when
+        # several EOS candidates tie at the top; cross-checked end-to-end
+        # against hf generate in tests/integration/test_hf_conversion.py.
+        fin_eos = is_eos & (jnp.arange(2 * K)[None, :] < K)
 
         # ----- finalize EOS candidates into the fin_* set -----
         # no-op on steps with no EOS candidate (most of them, min_len blocks
@@ -225,7 +235,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
 
         def _finalize(_):
             norm_eos = jnp.where(
-                is_eos, normalize(top_scores, jnp.broadcast_to(
+                fin_eos, normalize(top_scores, jnp.broadcast_to(
                     hyp_len.astype(jnp.float32), top_scores.shape)), NEG_INF)
             # candidate token rows: parent tokens + EOS spliced at gen_pos
             parent_tokens = jnp.take_along_axis(
@@ -242,7 +252,7 @@ def beam_search(step_fn: Callable, cache, prefix: jax.Array, prefix_len: jax.Arr
                     jnp.take_along_axis(all_fin_lengths, f_sel, axis=1))
 
         fin_tokens, fin_scores, fin_lengths = jax.lax.cond(
-            jnp.any(is_eos), _finalize,
+            jnp.any(fin_eos), _finalize,
             lambda _: (s.fin_tokens, s.fin_scores, s.fin_lengths), None)
 
         # ----- pick K continuing beams (non-EOS) -----

@@ -36,9 +36,15 @@ def text_to_char_seqs(text_tokenizer: NllbTokenizer, char_tokenizer: CharTokeniz
     """(B, T) target-mode token ids ([eos, lang, ..., eos], right-padded with pad) ->
     (char_ids (B, max_char_len), char_seq_lens (B,), char_counts (B, T)).
 
-    ``char_counts`` aligns position-for-position with ``text_seqs`` (zeros at the
-    [eos, lang] prefix, EOS and pad positions) so the device-side hard upsampling
-    consumes it directly.
+    ``char_counts`` uses the reference's SHIFTED (teacher-forcing) alignment
+    (TagManager.postprocess_dur_or_len, nar_decoder_frontend.py:44-48 pads
+    ``[0, counts(gen), 0]`` around the stripped-prefix counts, pairing the
+    char count of token t_i with the decoder feature at position i-1 — the
+    feature that PREDICTED t_i; HF transformers replicates it,
+    modeling_seamless_m4t_v2.py generate's ``torch.cat([pad_zero, ...])``).
+    Zeros land at the leading EOS position and the final feature position;
+    cross-checked end-to-end vs hf generate in
+    tests/integration/test_hf_conversion.py::test_t2u_chain_matches_hf.
     """
     pad = text_tokenizer.vocab_info.pad_idx
     unk = text_tokenizer.vocab_info.unk_idx
@@ -77,8 +83,10 @@ def text_to_char_seqs(text_tokenizer: NllbTokenizer, char_tokenizer: CharTokeniz
             counts.append(c)
             all_chars.extend(ids)
 
-        # counts align to [eos(0), lang(0), t1..tn, eos(0), pads(0)]
-        char_counts[b, 2:2 + len(counts)] = counts
+        # shifted alignment: count of t_i sits on the feature of position
+        # i-1 -> [eos(0), lang<-c(t1), t1<-c(t2), ..., t_{n-1}<-c(t_n),
+        # t_n<-0, pads(0)]
+        char_counts[b, 1:1 + len(counts)] = counts
         total = min(len(all_chars), max_char_len)
         char_ids[b, :total] = all_chars[:total]
         char_seq_lens[b] = total

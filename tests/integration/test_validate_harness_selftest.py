@@ -29,10 +29,16 @@ def _load_harness():
 
 
 def test_harness_selftest_all_families(tmp_path):
+    import warnings
+
     mod = _load_harness()
     report = tmp_path / "report.json"
-    rc = mod.main(["--checkpoint-dir", str(tmp_path / "ckpts"),
-                   "--selftest", "--report", str(report)])
+    with warnings.catch_warnings():
+        # weights-day reports must be clean: a NaN-divide / empty-slice
+        # warning inside any family check fails the selftest outright
+        warnings.simplefilter("error", RuntimeWarning)
+        rc = mod.main(["--checkpoint-dir", str(tmp_path / "ckpts"),
+                       "--selftest", "--report", str(report)])
     assert rc == 0
     results = json.loads(report.read_text())
     assert len(results) == len(mod.CHECKS) == 8
