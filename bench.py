@@ -297,52 +297,94 @@ def main() -> None:
             extra["s2tt_batch8_rtf"] = round(s2tt_rtf, 5)
             extra["s2tt_batch8_audio_s_per_s"] = round(1.0 / s2tt_rtf, 1)
 
-    # int4 (per-column scales) weight-only decode (VERDICT r03 item 3).
-    # int4 cannot exist AT REST on this backend (S4 device_put relayout
-    # recurses), so the stage quantizes IN-GRAPH ahead of the decode loop —
-    # the 262-step while body still reads packed-int4 weights + the halved
-    # 131 MB vocab table from HBM each step, which is the effect under test
-    # (scripts/ab_int4.py carries the interleaved 3-mode A/B).
+    # int4 weight + int4 KV decode, MEASURED end-to-end (VERDICT r04 item 3:
+    # replace the derived int4_est_rtf with a full-pipeline run on int4).
+    # int4 AT REST: device_put of S4 arrays recurses on this backend, but
+    # materializing the quantized tree as the OUTPUT of a jitted
+    # quantize_params avoids device_put entirely — the int4 weights then live
+    # on-device across calls like any other array.
     if section("int4", "BENCH_INT4"):
       with _section_guard("int4"):
-            from seamless_communication_tpu.ops.quantization import quantize_params
+            import gc
+
+            from seamless_communication_tpu.ops.quantization import (
+                quantize_params,
+            )
             bf16 = unity.unity_init(jax.random.PRNGKey(0), cfg, dtype=dtype)
             jax.block_until_ready(bf16)
-            int4_beam = jax.jit(lambda p, enc, prefix: stage_beam(
-                quantize_params(p, bits=4, int4_group=0), enc, prefix))
-            enc1 = compiled["enc"](params, wav)
+            try:
+                params_i4 = jax.jit(
+                    lambda p: quantize_params(p, bits=4, int4_group=0))(bf16)
+                jax.block_until_ready(params_i4)
+                at_rest = True
+            except Exception as e:  # S4 relayout regression: fall back
+                extra["int4_at_rest_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+                params_i4, at_rest = None, False
+            del bf16
+            gc.collect()
 
-            def run_int4():
-                t0 = time.time()
-                toks, _ = int4_beam(bf16, enc1, prefix)
-                np.asarray(toks)
-                return (time.time() - t0) * 1000.0
+            def stage_beam4(params, enc, prefix):
+                # int4 weights + packed-int4 KV cache through the Pallas
+                # decode kernel (ops/kernels/decode_attention.py _kernel_int4)
+                enc_bk = unity.EncoderOutput(jnp.repeat(enc.seqs, K, axis=0),
+                                             jnp.repeat(enc.lengths, K, axis=0))
+                step_fn, cache_fn = unity.make_text_decode_step(params, cfg,
+                                                                enc_bk)
+                opts = BeamSearchOptions(beam_size=K, max_len=TEXT_MAX_LEN,
+                                         min_len=TEXT_MAX_LEN - 8,
+                                         pad_idx=0, unk_idx=1, eos_idx=3)
+                res = beam_search(step_fn,
+                                  cache_fn(TEXT_MAX_LEN, True, kv_bits=4),
+                                  prefix, jnp.array([2], jnp.int32), opts, V,
+                                  src_to_step=True)
+                return res.tokens[:, 0], res.lengths[:, 0]
 
-            run_int4()                                    # compile + first launch
-            t_i4 = [run_int4() for _ in range(3)]
-            extra["int4_beam_p50_ms"] = round(float(np.median(t_i4)), 1)
-            extra["int4_ms_per_step"] = round(float(np.median(t_i4)) / TEXT_MAX_LEN,
-                                              3)
+            if at_rest:
+                enc4_fn = jax.jit(stage_enc)
+                beam4_fn = jax.jit(stage_beam4)
+                nar4_fn = jax.jit(stage_nar_voc)
 
-            # default (int8) beam stage alone, for the derived int4 RTF:
-            # swap the beam stage's time into the measured end-to-end p50.
-            # CAVEAT: the int4 stage holds its own executable + the 5 GB bf16
-            # tree, so both beam numbers here carry the co-residency tax (see
-            # docs/performance.md benchmark hygiene) — the DELTA is what's
-            # meaningful, and it is applied to the cleanly-measured p50.
-            def run_beam8():
-                t0 = time.time()
-                toks, _ = compiled["beam"](params, enc1, prefix)
-                np.asarray(toks)
-                return (time.time() - t0) * 1000.0
+                def run_once_i4():
+                    enc = enc4_fn(params_i4, wav)
+                    tokens, tok_lens = beam4_fn(params_i4, enc, prefix)
+                    tok_np = np.asarray(tokens)
+                    mapped = np.where(tok_np >= 4, 4 + (tok_np % n_pieces),
+                                      tok_np)
+                    char_ids, _, char_counts = text_to_char_seqs(
+                        text_tok, char_tok, mapped.astype(np.int32),
+                        max_char_len=MAX_CHAR_LEN)
+                    out = nar4_fn(params_i4, voc_params, tokens, tok_lens,
+                                  enc, jnp.asarray(char_ids),
+                                  jnp.asarray(char_counts))
+                    np.asarray(out[0][:, :8])
+                    return None
 
-            run_beam8()
-            t_b8 = [run_beam8() for _ in range(3)]
-            extra["int8_beam_p50_ms"] = round(float(np.median(t_b8)), 1)
-            est = (float(np.median(times)) * 1000.0
-                   + float(np.median(t_i4)) - float(np.median(t_b8)))
-            extra["int4_est_rtf"] = round(est / 1000.0 / AUDIO_SECONDS, 5)
-            del bf16, int4_beam, enc1
+                run_once_i4()                 # compile + first launch
+                t_i4e = []
+                for _ in range(3):
+                    t0 = time.time()
+                    run_once_i4()
+                    t_i4e.append(time.time() - t0)
+                extra["int4_rtf"] = round(
+                    float(np.median(t_i4e)) / AUDIO_SECONDS, 5)
+
+                enc1 = enc4_fn(params_i4, wav)
+
+                def run_beam4():
+                    t0 = time.time()
+                    toks, _ = beam4_fn(params_i4, enc1, prefix)
+                    np.asarray(toks)
+                    return (time.time() - t0) * 1000.0
+
+                run_beam4()
+                t_i4 = [run_beam4() for _ in range(3)]
+                extra["int4_beam_p50_ms"] = round(float(np.median(t_i4)), 1)
+                extra["int4_ms_per_step"] = round(
+                    float(np.median(t_i4)) / TEXT_MAX_LEN, 3)
+                extra["int4_kv"] = "packed int4 (Pallas kernel)"
+                del params_i4, enc4_fn, beam4_fn, nar4_fn, enc1
+                gc.collect()
+                jax.clear_caches()
 
     # opt-in medium-model ASR RTF (BASELINE.json config 1: seamlessM4T_medium
     # ASR on a single 10 s clip): w2v-BERT 300m XL-attention encoder + NLLB
@@ -460,51 +502,6 @@ def main() -> None:
         wall = stream_once()             # warm
         extra["stream_ms_per_chunk"] = round(wall / n_chunks * 1000, 1)
         extra["stream_xrt"] = round(wall / 10.0, 3)
-
-        # ---- batched multi-session pool (VERDICT r04 item 1): N concurrent
-        # streaming sessions over ONE chip via streaming/multi.py — every
-        # 320 ms arrival interval runs a single vmapped chunk program for all
-        # slots. The single-session chunk uses ~60 ms of the 320 ms budget;
-        # this scores how much of the idle chip the pool reclaims
-        # (token equality pinned in tests/integration/test_streaming_multi.py).
-        with _section_guard("stream_pool"):
-            from seamless_communication_tpu.streaming.multi import (
-                BatchedStreamingPool,
-            )
-            N_SLOTS = int(os.environ.get("BENCH_POOL_SLOTS", "8"))
-            pool = BatchedStreamingPool(sparams, scfg, mono_params, mono_cfg,
-                                        tok, n_slots=N_SLOTS)
-            SEG = int(0.320 * 16000)
-
-            def pool_once():
-                t0 = time.time()
-                sids = [pool.open_session(tgt_lang="eng")
-                        for _ in range(N_SLOTS)]
-                for i in range(n_chunks):
-                    for s in sids:
-                        pool.push(s, swav[i * SEG:(i + 1) * SEG],
-                                  finished=(i == n_chunks - 1))
-                    pool.step()
-                    for s in sids:
-                        pool.pop(s)
-                d = 0
-                while (not all(pool.session_finished(s) for s in sids)
-                       and d < 128):
-                    pool.step()
-                    d += 1
-                w = time.time() - t0
-                for s in sids:
-                    pool.close_session(s)
-                return w
-
-            pool_once()                  # cold (compiles the vmapped chunk)
-            pw = pool_once()             # warm
-            extra["stream_pool_slots"] = N_SLOTS
-            extra["stream_pool_ms_per_chunk"] = round(pw / n_chunks * 1000, 1)
-            extra["stream_pool_audio_s_per_s"] = round(
-                N_SLOTS * 10.0 / pw, 1)
-            extra["stream_pool_xrt"] = round(pw / 10.0, 3)
-            del pool
 
         # ---- full S2ST streaming chunk (VERDICT r03 item 4): EMMA chunk +
         # NAR T2U re-run + unit-vocoder synth per 320 ms chunk (reference
@@ -710,6 +707,67 @@ def main() -> None:
         extra["stream_AL05_ms"] = round(lat05["AL_ms"], 1)
         extra["stream_LAAL05_ms"] = round(lat05["LAAL_ms"], 1)
 
+        # ---- batched multi-session pool (VERDICT r04 item 1): N concurrent
+        # streaming sessions over ONE chip via streaming/multi.py — every
+        # 320 ms arrival interval runs a single vmapped chunk program for all
+        # slots. Runs LAST in the stream section (its N-slot state is the
+        # section's biggest allocation; an OOM here must not void the other
+        # stream keys — r05 first run) with the single-session pipelines and
+        # their executables freed first. Token equality is pinned in
+        # tests/integration/test_streaming_multi.py.
+        with _section_guard("stream_pool"):
+            import gc
+
+            from seamless_communication_tpu.streaming.multi import (
+                BatchedStreamingPool,
+            )
+            del pipe, s2st_pipe, lat05_pipe, mono05
+            gc.collect()
+            jax.clear_caches()
+            N_SLOTS = int(os.environ.get("BENCH_POOL_SLOTS", "8"))
+            # 1024 stacked frames = ~20 s of stream: plenty for 10 s of audio
+            # + bounded drain, and half the per-slot encoder-state HBM
+            pool = None
+            try:
+                pool = BatchedStreamingPool(sparams, scfg, mono_params,
+                                            mono_cfg, tok, n_slots=N_SLOTS,
+                                            max_stream_frames=1024)
+                SEG = int(0.320 * 16000)
+
+                def pool_once():
+                    t0 = time.time()
+                    sids = [pool.open_session(tgt_lang="eng")
+                            for _ in range(N_SLOTS)]
+                    for i in range(n_chunks):
+                        for s in sids:
+                            pool.push(s, swav[i * SEG:(i + 1) * SEG],
+                                      finished=(i == n_chunks - 1))
+                        pool.step()
+                        for s in sids:
+                            pool.pop(s)
+                    d = 0
+                    while (not all(pool.session_finished(s) for s in sids)
+                           and d < 24):    # bounded drain: state cap 1024
+                        pool.step()
+                        d += 1
+                    w = time.time() - t0
+                    for s in sids:
+                        pool.close_session(s)
+                    return w
+
+                pool_once()              # cold (compiles the vmapped chunk)
+                pw = pool_once()         # warm
+                extra["stream_pool_slots"] = N_SLOTS
+                extra["stream_pool_ms_per_chunk"] = round(
+                    pw / n_chunks * 1000, 1)
+                extra["stream_pool_audio_s_per_s"] = round(
+                    N_SLOTS * 10.0 / pw, 1)
+                extra["stream_pool_xrt"] = round(pw / 10.0, 3)
+            finally:
+                del pool
+                gc.collect()
+                jax.clear_caches()
+
     if section("stream"):
         with _section_guard("stream"):
             _stream_section()
@@ -864,7 +922,10 @@ def main() -> None:
     if section("train_v2large"):
       with _section_guard("train_v2large"):
             import gc
-            del tparams
+            try:
+                del tparams
+            except NameError:  # the medium train section itself failed
+                pass
             gc.collect()
             jax.clear_caches()
             tcfg_l = get_arch("base_v2")

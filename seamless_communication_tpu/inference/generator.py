@@ -62,6 +62,9 @@ class SequenceGeneratorOptions:
                                           # serving config; error bounded in
                                           # tests/unit/test_quantization.py),
                                           # fp KV elsewhere
+    kv_cache_bits: int = 8                # 4: packed-int4 self-KV (half the
+                                          # per-step KV HBM read again; lossier
+                                          # — opt-in, bench-measured)
 
 
 def _bucket(n: int, step: int = 64) -> int:
@@ -115,9 +118,10 @@ class UnitYGenerator:
     def _text_beam_fn(self, max_len: int, banned: Optional[tuple],
                       topts: SequenceGeneratorOptions):
         kv_int8 = _resolve_kv_int8(topts)
+        kv_bits = topts.kv_cache_bits if kv_int8 else 8
         key = ("text_beam", max_len, banned is not None,
                topts.beam_size, topts.len_penalty, topts.unk_penalty,
-               topts.no_repeat_ngram_size, kv_int8)
+               topts.no_repeat_ngram_size, kv_int8, kv_bits)
         if key not in self._jit_cache:
             opts = BeamSearchOptions(
                 beam_size=topts.beam_size, max_len=max_len,
@@ -153,7 +157,7 @@ class UnitYGenerator:
                 if topts.no_repeat_ngram_size:
                     procs.append(make_ngram_repeat_block(
                         topts.no_repeat_ngram_size, V))
-                cache = cache_fn(max_len, kv_int8)
+                cache = cache_fn(max_len, kv_int8, kv_bits=kv_bits)
                 # src_to_step fuses the beam reorder into the decode step's
                 # cache pass (ops/transformer.py beam_src) — token-identical,
                 # ~1.4 ms/step faster on v2-large

@@ -134,8 +134,10 @@ def text_decoder_step_topk(params: dict, tok_t: jax.Array, cache: DecoderCache,
 
 def text_decoder_cache(params: dict, cfg: NllbConfig, enc_out: jax.Array,
                        max_len: int, *, kv_int8: bool = False,
-                       per_layer: bool = True) -> DecoderCache:
+                       per_layer: bool = True,
+                       kv_bits: int = 8) -> DecoderCache:
     # per-layer caches are the TPU decode fast path (ops/transformer.py
     # decoder_cache_init docstring)
     return decoder_cache_init(params["stack"], cfg.dec_cfg(), enc_out, max_len,
-                              kv_int8=kv_int8, per_layer=per_layer)
+                              kv_int8=kv_int8, per_layer=per_layer,
+                              kv_bits=kv_bits)

@@ -120,9 +120,11 @@ def make_text_decode_step(params: dict, cfg: UnitYConfig, enc: EncoderOutput, *,
             return text_decoder_step(dec_params, tok_t, cache, step, cfg.nllb,
                                      enc_padding_mask=mask, beam_src=beam_src)
 
-    def cache_fn(max_len: int, kv_int8: bool = False, per_layer: bool = True):
+    def cache_fn(max_len: int, kv_int8: bool = False, per_layer: bool = True,
+                 kv_bits: int = 8):
         return text_decoder_cache(params["text_decoder"], cfg.nllb, enc.seqs,
-                                  max_len, kv_int8=kv_int8, per_layer=per_layer)
+                                  max_len, kv_int8=kv_int8,
+                                  per_layer=per_layer, kv_bits=kv_bits)
 
     return step_fn, cache_fn
 

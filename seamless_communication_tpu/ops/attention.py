@@ -259,6 +259,75 @@ def self_attention_step_nocache_int8(params: dict, x_t: jax.Array,
     return y, kq, ks, vq, vs
 
 
+def quantize_kv_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., Dh) -> PACKED int4 rows (..., Dh/2) int8 + per-row fp32 scales.
+
+    Split-half packing: byte j holds value j in its low nibble and value
+    j + Dh/2 in its high nibble, so consumers never interleave — the dot
+    contraction just splits into a low-half and a high-half dot
+    (ops/kernels/decode_attention.py int4 kernel). Quantization is symmetric
+    absmax/7 per (batch, head, position) row."""
+    xf = x.astype(jnp.float32)
+    dh = xf.shape[-1]
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int8)
+    lo, hi = q[..., :dh // 2], q[..., dh // 2:]
+    return (lo & jnp.int8(0x0F)) | (hi << 4), s
+
+
+def unpack_int4(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Packed (..., Dh/2) int8 -> (lo, hi) int8 halves (split-half order:
+    full row = concat([lo, hi], axis=-1))."""
+    lo = (packed << 4) >> 4            # arithmetic shifts sign-extend int4
+    hi = packed >> 4
+    return lo, hi
+
+
+def self_attention_step_nocache_int4(params: dict, x_t: jax.Array,
+                                     k_cache: jax.Array, v_cache: jax.Array,
+                                     k_scale: jax.Array, v_scale: jax.Array,
+                                     step: jax.Array, num_heads: int):
+    """Packed-int4-KV variant of :func:`self_attention_step_nocache_int8`:
+    caches are (B, H, T, Dh/2) int8 split-half packed nibbles. The contraction
+    splits into low/high-half dots so the (B,H,T,Dh) dequantized cache never
+    materializes in HBM. Returns (y, kq4, ks, vq4, vs)."""
+    dtype = x_t.dtype
+    q = _split_heads(linear(params["q_proj"], x_t), num_heads)       # (B,H,1,Dh)
+    k_t = _split_heads(linear(params["k_proj"], x_t), num_heads)
+    v_t = _split_heads(linear(params["v_proj"], x_t), num_heads)
+    kq, ks = quantize_kv_rows_int4(k_t)
+    vq, vs = quantize_kv_rows_int4(v_t)
+    dh = q.shape[-1]
+    t_max = k_cache.shape[2]
+
+    k_lo, k_hi = unpack_int4(k_cache)
+    q_lo, q_hi = q[..., :dh // 2], q[..., dh // 2:]
+    logits = (jnp.einsum("bhqd,bhkd->bhqk", q_lo, k_lo.astype(dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bhqd,bhkd->bhqk", q_hi, k_hi.astype(dtype),
+                           preferred_element_type=jnp.float32))
+    logits = logits * k_scale[:, :, None, :] / math.sqrt(dh)
+    logit_cur = jnp.einsum("bhqd,bhqd->bhq", q, k_t,
+                           preferred_element_type=jnp.float32) / math.sqrt(dh)
+    valid = jnp.arange(t_max)[None, None, None, :] < step
+    is_cur = jnp.arange(t_max)[None, None, None, :] == step
+    logits = jnp.where(valid, logits,
+                       jnp.where(is_cur, logit_cur[..., None], -1e9))
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_hist = jnp.where(is_cur, 0.0, probs)
+    p_cur = jnp.sum(jnp.where(is_cur, probs, 0.0), axis=-1)          # (B,H,1)
+    v_lo, v_hi = unpack_int4(v_cache)
+    pv = (p_hist * v_scale[:, :, None, :]).astype(dtype)
+    out = jnp.concatenate(
+        [jnp.einsum("bhqk,bhkd->bhqd", pv, v_lo.astype(dtype),
+                    preferred_element_type=jnp.float32),
+         jnp.einsum("bhqk,bhkd->bhqd", pv, v_hi.astype(dtype),
+                    preferred_element_type=jnp.float32)], axis=-1)
+    out = (out + p_cur[..., None] * v_t.astype(jnp.float32)).astype(dtype)
+    y = linear(params["output_proj"], _merge_heads(out))
+    return y, kq, ks, vq, vs
+
+
 def cross_attention_precompute_int8(params: dict, enc_out: jax.Array,
                                     num_heads: int) -> Int8KVCache:
     kv = cross_attention_precompute(params, enc_out, num_heads)

@@ -206,6 +206,238 @@ def _pallas_call(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
 
 
 # ---------------------------------------------------------------------------
+# Packed-int4 KV variant: halves the per-step KV HBM traffic vs int8
+# ---------------------------------------------------------------------------
+#
+# Caches are (B, H, T, Dh/2) int8 with two int4 values per byte in SPLIT-HALF
+# order (ops/attention.py quantize_kv_rows_int4): byte j = value j (low
+# nibble) | value j+Dh/2 (high nibble). The attention contraction splits into
+# a low-half and a high-half dot, so no nibble interleave ever materializes;
+# the value contraction emits the two output halves directly.
+
+
+def _reference_int4(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale, step,
+                    src):
+    """Pure-JAX reference (and CPU fallback) for the packed-int4 kernel."""
+    from seamless_communication_tpu.ops.attention import (
+        quantize_kv_rows_int4, unpack_int4,
+    )
+
+    dtype = q.dtype
+    B, H, T, _ = k_cache.shape
+    dh = q.shape[-1]
+    k_cache, v_cache = k_cache[src], v_cache[src]
+    k_scale, v_scale = k_scale[src], v_scale[src]
+
+    k_lo, k_hi = unpack_int4(k_cache)
+    q_lo, q_hi = q[..., :dh // 2], q[..., dh // 2:]
+    logits = (jnp.einsum("bhd,bhtd->bht", q_lo, k_lo.astype(dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bhd,bhtd->bht", q_hi, k_hi.astype(dtype),
+                           preferred_element_type=jnp.float32))
+    logits = logits * k_scale / math.sqrt(dh)
+    lcur = jnp.einsum("bhd,bhd->bh", q, k_t,
+                      preferred_element_type=jnp.float32) / math.sqrt(dh)
+    t = jnp.arange(T)[None, None, :]
+    valid = t < step
+    logits = jnp.where(valid, logits, NEG)
+    m = jnp.maximum(jnp.max(logits, axis=-1), lcur)
+    p = jnp.where(valid, jnp.exp(logits - m[..., None]), 0.0)
+    pc = jnp.exp(lcur - m)
+    den = jnp.sum(p, axis=-1) + pc
+    v_lo, v_hi = unpack_int4(v_cache)
+    pv = (p * v_scale).astype(dtype)
+    out = jnp.concatenate(
+        [jnp.einsum("bht,bhtd->bhd", pv, v_lo.astype(dtype),
+                    preferred_element_type=jnp.float32),
+         jnp.einsum("bht,bhtd->bhd", pv, v_hi.astype(dtype),
+                    preferred_element_type=jnp.float32)], axis=-1)
+    out = (out + pc[..., None] * v_t.astype(jnp.float32)) / den[..., None]
+
+    kq, ks = quantize_kv_rows_int4(k_t)
+    vq, vs = quantize_kv_rows_int4(v_t)
+    is_cur = t == step
+    new_k = jnp.where(is_cur[..., None], kq[:, :, None, :], k_cache)
+    new_v = jnp.where(is_cur[..., None], vq[:, :, None, :], v_cache)
+    new_ks = jnp.where(is_cur, ks[:, :, None], k_scale)
+    new_vs = jnp.where(is_cur, vs[:, :, None], v_scale)
+    return out.astype(dtype), new_k, new_v, new_ks, new_vs
+
+
+def _kernel_int4(step_ref, src_ref, q_ref, kt_ref, vt_ref, kc_ref, vc_ref,
+                 ks_ref, vs_ref, out_ref, nkc_ref, nvc_ref, nks_ref, nvs_ref,
+                 *, dh: int):
+    """Packed-int4 variant of ``_kernel``: the gathered block is Dh/2 int8
+    bytes; nibbles sign-extend through int32 shifts (Mosaic has no 8-bit
+    shifts), the dots split into low/high halves."""
+    step = step_ref[0]
+    q = q_ref[0]                       # (H, Dh) model dtype
+    dtype = q.dtype
+    kc = kc_ref[0]                     # (H, T, Dh/2) int8 packed
+    vc = vc_ref[0]
+    ks = ks_ref[0]                     # (H, T) f32
+    vs = vs_ref[0]
+    H, T, _ = kc.shape
+    dh2 = dh // 2
+
+    # current-row int4 quantization (quantize_kv_rows_int4 semantics)
+    ktf = kt_ref[0].astype(jnp.float32)
+    vtf = vt_ref[0].astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(ktf), axis=-1) / 7.0, 1e-8)     # (H,)
+    sv = jnp.maximum(jnp.max(jnp.abs(vtf), axis=-1) / 7.0, 1e-8)
+    k4 = jnp.clip(jnp.round(ktf / sk[:, None]), -7, 7).astype(jnp.int32)
+    v4 = jnp.clip(jnp.round(vtf / sv[:, None]), -7, 7).astype(jnp.int32)
+    # split-half pack in int32 (cast to int8 at the store)
+    k4p = (k4[:, :dh2] & 0xF) | (k4[:, dh2:] << 4)                    # (H,Dh/2)
+    v4p = (v4[:, :dh2] & 0xF) | (v4[:, dh2:] << 4)
+
+    # nibble sign-extension staged through int32 (8-bit shifts unsupported)
+    kc32 = kc.astype(jnp.int32)
+    vc32 = vc.astype(jnp.int32)
+    k_lo = ((kc32 << 28) >> 28).astype(dtype)                         # (H,T,Dh/2)
+    k_hi = ((kc32 << 24) >> 28).astype(dtype)
+    v_lo = ((vc32 << 28) >> 28).astype(dtype)
+    v_hi = ((vc32 << 24) >> 28).astype(dtype)
+
+    q_lo, q_hi = q[:, :dh2], q[:, dh2:]
+    logits = jnp.concatenate([
+        jax.lax.dot_general(q_lo[h:h + 1], k_lo[h],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(q_hi[h:h + 1], k_hi[h],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)                                   # (H, T)
+    logits = logits * ks / math.sqrt(dh)
+    lcur = jnp.sum(q.astype(jnp.float32) * ktf, axis=-1) / math.sqrt(dh)
+
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (H, T), 1)
+    valid = t_iota < step
+    logits = jnp.where(valid, logits, NEG)
+    m = jnp.maximum(jnp.max(logits, axis=-1), lcur)                   # (H,)
+    p = jnp.where(valid, jnp.exp(logits - m[:, None]), 0.0)
+    pc = jnp.exp(lcur - m)
+    den = jnp.sum(p, axis=-1) + pc
+
+    p2 = (p * vs).astype(dtype)
+    out_lo = jnp.concatenate([
+        jax.lax.dot_general(p2[h:h + 1], v_lo[h],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)                                   # (H,Dh/2)
+    out_hi = jnp.concatenate([
+        jax.lax.dot_general(p2[h:h + 1], v_hi[h],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)
+    out = jnp.concatenate([out_lo, out_hi], axis=-1)                  # (H, Dh)
+    out = (out + pc[:, None] * vtf) / den[:, None]
+    out_ref[0] = out.astype(dtype)
+
+    # one-pass write-back (f32-staged select, as in _kernel)
+    is_cur = t_iota == step
+    is_cur3 = jax.lax.broadcasted_iota(jnp.int32, kc.shape, 1) == step
+    nkc_ref[0] = jnp.where(is_cur3, k4p.astype(jnp.float32)[:, None, :],
+                           kc.astype(jnp.float32)).astype(jnp.int8)
+    nvc_ref[0] = jnp.where(is_cur3, v4p.astype(jnp.float32)[:, None, :],
+                           vc.astype(jnp.float32)).astype(jnp.int8)
+    nks_ref[0] = jnp.where(is_cur, sk[:, None], ks)
+    nvs_ref[0] = jnp.where(is_cur, sv[:, None], vs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_call_int4(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
+                      step_arr, src, *, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, T, Dh2 = k_cache.shape
+    Dh = q.shape[-1]
+
+    def vec_idx(b, step_r, src_r):
+        return (b, 0, 0)
+
+    def gath_idx(b, step_r, src_r):
+        return (src_r[b], 0, 0, 0)
+
+    def gath_idx3(b, step_r, src_r):
+        return (src_r[b], 0, 0)
+
+    def out_idx(b, step_r, src_r):
+        return (b, 0, 0, 0)
+
+    def out_idx3(b, step_r, src_r):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, T, Dh2), gath_idx),
+            pl.BlockSpec((1, H, T, Dh2), gath_idx),
+            pl.BlockSpec((1, H, T), gath_idx3),
+            pl.BlockSpec((1, H, T), gath_idx3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, Dh), vec_idx),
+            pl.BlockSpec((1, H, T, Dh2), out_idx),
+            pl.BlockSpec((1, H, T, Dh2), out_idx),
+            pl.BlockSpec((1, H, T), out_idx3),
+            pl.BlockSpec((1, H, T), out_idx3),
+        ],
+    )
+    kv_bytes = B * H * T * Dh2
+    return pl.pallas_call(
+        functools.partial(_kernel_int4, dh=Dh),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, Dh2), jnp.int8),
+            jax.ShapeDtypeStruct((B, H, T, Dh2), jnp.int8),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * Dh,
+            bytes_accessed=4 * kv_bytes + 4 * B * H * T * 8,
+            transcendentals=B * H * T,
+        ),
+        interpret=interpret,
+    )(step_arr, src, q, k_t, v_t, k_cache, v_cache, k_scale, v_scale)
+
+
+def fused_decode_self_attention_int4(q, k_t, v_t, k_cache, v_cache,
+                                     k_scale, v_scale, step, src, *,
+                                     use_pallas: bool | None = None,
+                                     interpret: bool = False):
+    """Packed-int4-KV fused gather+insert+attend decode step: same contract
+    as :func:`fused_decode_self_attention_int8` with (B,H,T,Dh/2) packed
+    caches — half the KV HBM traffic per step."""
+    import os
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("SEAMLESS_PALLAS_DECODE") != "0")
+    if use_pallas:
+        B, H, T, Dh2 = k_cache.shape
+        # int8 packed in+out blocks + f32 select staging + nibble-unpack
+        # staging (4 half-width dtype planes) + f32 scales
+        block_bytes = H * T * Dh2 * (2 + 2 + 8 + 8) + 4 * H * T * 4
+        if 2 * block_bytes > 12 * 1024 * 1024:
+            use_pallas = False
+    if not use_pallas:
+        return _reference_int4(q, k_t, v_t, k_cache, v_cache, k_scale,
+                               v_scale, step, src)
+    step_arr = jnp.reshape(jnp.asarray(step, jnp.int32), (1,))
+    return _pallas_call_int4(q, k_t, v_t, k_cache, v_cache, k_scale, v_scale,
+                             step_arr, jnp.asarray(src, jnp.int32),
+                             interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
 # Lazy-reorder (row-origin indexed) decode attention
 # ---------------------------------------------------------------------------
 #

@@ -193,9 +193,26 @@ class DecoderCacheQ8(NamedTuple):
     row_src: Optional[jax.Array] = None   # (B, T_max) int32
 
 
+class DecoderCacheQ4(NamedTuple):
+    """Packed-int4 self-KV variant of DecoderCacheQ8: self_k/self_v hold TWO
+    int4 values per byte in split-half order (ops/attention.py
+    quantize_kv_rows_int4), halving the dominant per-step KV HBM read again
+    vs int8. Cross-attention KV stays int8 (precomputed once; its per-step
+    read is small and the encoder bank is reused by every step). Per-layer
+    (tuple) layout only — the serving decode path."""
+    self_k: tuple            # L x (B, H, T_max, Dh/2) int8 packed
+    self_v: tuple
+    self_k_scale: tuple      # L x (B, H, T_max) fp32
+    self_v_scale: tuple
+    cross_k: tuple           # L x (B, H, S, Dh) int8
+    cross_v: tuple
+    cross_k_scale: tuple
+    cross_v_scale: tuple
+
+
 def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
                        max_len: int, dtype=None, *, kv_int8: bool = False,
-                       per_layer: bool = False):
+                       per_layer: bool = False, kv_bits: int = 8):
     """``per_layer=True`` stores each field as a TUPLE of per-layer arrays
     (B, H, T, Dh) instead of one stacked (L, B, H, T, Dh) array, and the decode
     step unrolls the layer loop. On TPU this is the fast decode layout: the
@@ -221,6 +238,15 @@ def decoder_cache_init(params: dict, cfg: TransformerConfig, enc_out: jax.Array,
                 lp["cross_attn"], enc_out, H) for lp in layer_ps]
             zs = lambda: tuple(jnp.zeros(shape[1:4], jnp.float32)
                                for _ in range(L))
+            if kv_bits == 4:
+                zk4 = lambda: tuple(
+                    jnp.zeros(shape[1:4] + (Dh // 2,), jnp.int8)
+                    for _ in range(L))
+                return DecoderCacheQ4(
+                    zk4(), zk4(), zs(), zs(),
+                    tuple(c.k for c in cross), tuple(c.v for c in cross),
+                    tuple(c.k_scale for c in cross),
+                    tuple(c.v_scale for c in cross))
             # identity row-origin table for LAZY beam reorder (see
             # DecoderCacheQ8.row_src), OPT-IN via SEAMLESS_LAZY_REORDER=1.
             # The round-3 default flip to the one-hot lazy formulation was
@@ -295,6 +321,11 @@ def decoder_cache_beam_reorder(cache, flat_src: jax.Array):
     if isinstance(cache.self_k, (tuple, list)):
         # per-layer caches: gather on the leading (contiguous) beam axis
         take = lambda xs: tuple(x[flat_src] for x in xs)
+        if isinstance(cache, DecoderCacheQ4):
+            return cache._replace(
+                self_k=take(cache.self_k), self_v=take(cache.self_v),
+                self_k_scale=take(cache.self_k_scale),
+                self_v_scale=take(cache.self_v_scale))
         if isinstance(cache, DecoderCacheQ8):
             if getattr(cache, "row_src", None) is not None:
                 # lazy (row-origin) cache through a PHYSICAL reorder: gather
@@ -348,11 +379,13 @@ def transformer_decoder_step(params: dict, x_t: jax.Array, cache, step: jax.Arra
     instead of a separate gather plus a read-modify-write row update (the two
     together profiled at ~1.4 ms/step on the v5e S2ST bench)."""
     cross_bias = padding_bias(enc_padding_mask)
-    int8 = isinstance(cache, DecoderCacheQ8)
+    int4 = isinstance(cache, DecoderCacheQ4)
+    int8 = isinstance(cache, DecoderCacheQ8) or int4
 
     if isinstance(cache.self_k, (tuple, list)):
         return _decoder_step_per_layer(params, x_t, cache, step, cfg,
-                                       cross_bias, int8, beam_src)
+                                       cross_bias, int8, beam_src,
+                                       int4=int4)
     if beam_src is not None:
         return _decoder_step_scan_src(params, x_t, cache, step, cfg,
                                       cross_bias, int8, beam_src)
@@ -507,7 +540,8 @@ def _decoder_step_scan_src(params: dict, x_t: jax.Array, cache,
 def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                             step: jax.Array, cfg: TransformerConfig,
                             cross_bias, int8: bool,
-                            beam_src: Optional[jax.Array] = None):
+                            beam_src: Optional[jax.Array] = None,
+                            int4: bool = False):
     """Unrolled-layer decode step over tuple-of-(B,H,T,Dh) caches (see
     decoder_cache_init(per_layer=True)). Math-identical to the scan path; the
     per-layer weight slices are loop-invariant and hoisted out of the
@@ -528,7 +562,7 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
     # v2-large beam-5, scripts/ab_lazy_reorder.py single-mode runs;
     # docs/performance.md). The earlier serial Pallas indexed kernel was
     # slower still (0.89 vs 0.44 ms/step attention).
-    lazy = (int8 and beam_src is not None
+    lazy = (int8 and not int4 and beam_src is not None
             and getattr(cache, "row_src", None) is not None
             and os.environ.get("SEAMLESS_LAZY_REORDER", "1") == "1")
     if lazy:
@@ -577,8 +611,10 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
             y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
         elif beam_src is not None and int8 and _pallas_decode_enabled():
             # Pallas fast path: gather + row insert + attention in ONE VMEM
-            # pass per beam (ops/kernels/decode_attention.py)
+            # pass per beam (ops/kernels/decode_attention.py); the int4
+            # variant reads/writes packed nibbles — half the KV traffic
             from seamless_communication_tpu.ops.kernels.decode_attention import (
+                fused_decode_self_attention_int4,
                 fused_decode_self_attention_int8,
             )
             ap = lp["self_attn"]
@@ -588,10 +624,31 @@ def _decoder_step_per_layer(params: dict, x_t: jax.Array, cache,
                                        cfg.num_heads)[:, :, 0]
             vh = attn_ops._split_heads(linear(ap["v_proj"], z),
                                        cfg.num_heads)[:, :, 0]
-            o, sk[i], sv[i], sks[i], svs[i] = fused_decode_self_attention_int8(
+            fused = (fused_decode_self_attention_int4 if int4
+                     else fused_decode_self_attention_int8)
+            o, sk[i], sv[i], sks[i], svs[i] = fused(
                 qh, kh, vh, sk[i], sv[i], sks[i], svs[i], step, beam_src,
                 use_pallas=True)
             y = linear(ap["output_proj"], attn_ops._merge_heads(o[:, :, None]))
+        elif int4:
+            if beam_src is not None:
+                ski, svi = sk[i][beam_src], sv[i][beam_src]
+                sksi, svsi = sks[i][beam_src], svs[i][beam_src]
+            else:
+                ski, svi, sksi, svsi = sk[i], sv[i], sks[i], svs[i]
+            y, kq, ks, vq, vs = attn_ops.self_attention_step_nocache_int4(
+                lp["self_attn"], z, ski, svi, sksi, svsi, step,
+                cfg.num_heads)
+            if beam_src is not None:
+                sk[i] = jnp.where(pos_is_step, kq, ski)
+                sv[i] = jnp.where(pos_is_step, vq, svi)
+                sks[i] = jnp.where(pos_is_step[..., 0], ks, sksi)
+                svs[i] = jnp.where(pos_is_step[..., 0], vs, svsi)
+            else:
+                sk[i] = jax.lax.dynamic_update_slice(ski, kq, (0, 0, step, 0))
+                sv[i] = jax.lax.dynamic_update_slice(svi, vq, (0, 0, step, 0))
+                sks[i] = jax.lax.dynamic_update_slice(sksi, ks, (0, 0, step))
+                svs[i] = jax.lax.dynamic_update_slice(svsi, vs, (0, 0, step))
         elif int8:
             if beam_src is not None:
                 # fused reorder: the gathered history feeds both the attention
