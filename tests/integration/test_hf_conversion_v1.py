@@ -188,3 +188,81 @@ def test_v1_ar_t2u_greedy_decode_matches_hf_generate(hf_model, converted, my_cfg
     n = min(got_len, len(ref))
     mismatch = float(np.mean(got[:n] != ref[:n]))
     assert mismatch <= 0.1, (got[:n], ref[:n])
+
+
+def test_v1_ar_t2u_beam5_matches_hf_generate(hf_model, converted, my_cfg):
+    """Exact beam-5 AR T2U cross-check vs hf generate (length_penalty=0 where
+    the normalization conventions coincide; a growing EOS boost applied
+    identically on both sides terminates the random-init search naturally —
+    same technique as the text beam check in test_hf_conversion.py). Drives
+    the PRODUCTION decode path: src_to_step fused beam reorder."""
+    from transformers import LogitsProcessor
+
+    from seamless_communication_tpu.models.unity.t2u import (
+        ar_t2u_cache, ar_t2u_decoder_step, ar_t2u_encode,
+    )
+    from seamless_communication_tpu.ops.beam_search import (
+        BeamSearchOptions, beam_search,
+    )
+
+    BOOST, K, MAX = 0.3, 5, 32
+    tcfg = my_cfg.ar_t2u
+
+    class EosBoost(LogitsProcessor):
+        def __call__(self, input_ids, scores):
+            scores = scores.clone()
+            scores[:, tcfg.eos_idx] += BOOST * (input_ids.shape[1] - 1)
+            return scores
+
+    g = torch.Generator().manual_seed(11)
+    feats = torch.randn(2, 7, DIM, generator=g)
+    t2u = hf_model.t2u_model
+    with torch.no_grad():
+        out = t2u.generate(inputs_embeds=feats, num_beams=K, do_sample=False,
+                           length_penalty=0.0, early_stopping=False,
+                           max_new_tokens=MAX - 4,
+                           decoder_start_token_id=tcfg.eos_idx,
+                           bos_token_id=tcfg.bos_idx,
+                           eos_token_id=tcfg.eos_idx,
+                           pad_token_id=tcfg.pad_idx,
+                           logits_processor=[EosBoost()],
+                           num_return_sequences=K,
+                           return_dict_in_generate=True, output_scores=True)
+
+    B = 2
+    enc, mask = ar_t2u_encode(converted["t2u"], tcfg,
+                              jnp.asarray(feats.numpy()),
+                              jnp.full((B,), 7, jnp.int32))
+    enc_bk = jnp.repeat(enc, K, axis=0)
+    mask_bk = jnp.repeat(mask, K, axis=0)
+    cache = ar_t2u_cache(converted["t2u"], tcfg, enc_bk, MAX)
+
+    def step_fn(tok_t, cache, step, beam_src=None):
+        return ar_t2u_decoder_step(converted["t2u"], tok_t, cache, step, tcfg,
+                                   enc_padding_mask=mask_bk,
+                                   beam_src=beam_src)
+
+    def boost(tokens, step, lprobs):
+        # prefix length 1: tokens generated so far at this decision == step
+        return lprobs.at[:, :, tcfg.eos_idx].add(
+            BOOST * step.astype(jnp.float32))
+
+    opts = BeamSearchOptions(beam_size=K, max_len=MAX, min_len=0,
+                             len_penalty=0.0, pad_idx=tcfg.pad_idx,
+                             unk_idx=tcfg.unk_idx, eos_idx=tcfg.eos_idx,
+                             bos_idx=tcfg.bos_idx)
+    prefix = jnp.full((B, 1), tcfg.eos_idx, jnp.int32)
+    res = jax.jit(lambda c: beam_search(
+        step_fn, c, prefix, jnp.ones((B,), jnp.int32), opts,
+        tcfg.unit_vocab_size, src_to_step=True, processors=[boost]))(cache)
+
+    for b in range(B):
+        for k in range(K):
+            hf_seq = out.sequences[b * K + k].tolist()
+            if tcfg.eos_idx in hf_seq[1:]:
+                hf_seq = hf_seq[:hf_seq.index(tcfg.eos_idx, 1) + 1]
+            L = int(res.lengths[b, k])
+            my_seq = [int(t) for t in np.asarray(res.tokens[b, k])[:L]]
+            assert my_seq == hf_seq, (b, k, my_seq, hf_seq)
+            assert float(res.scores[b, k]) == pytest.approx(
+                float(out.sequences_scores[b * K + k]), abs=2e-2), (b, k)
