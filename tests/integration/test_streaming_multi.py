@@ -133,6 +133,31 @@ def test_pool_matches_single_session(setup):
     assert all(isinstance(g.text, str) for g in segs)
 
 
+def test_pool_matches_single_session_int8_mono(setup):
+    """Same equality under int8 EMMA weight quantization — the TPU serving
+    default (streaming/pipeline.py _maybe_quantize_mono): both sides quantize
+    identically, so tokens must still match."""
+    s = setup
+    wav = wave(300)
+    pipe = build_s2t_pipeline(
+        s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"],
+        s["text_tok"], tgt_lang="eng", fused="incremental",
+        min_starting_wait_w2vbert=KW["min_starting_wait"],
+        decision_threshold=KW["decision_threshold"], max_len_b=KW["max_len_b"],
+        max_consecutive_writes=KW["max_consecutive_writes"],
+        mono_quantize_int8=True)
+    list(StreamingSession(pipe, segment_size_ms=320, tgt_lang="eng").run(wav))
+    want = list(pipe.agents[1].states.target_indices)
+    assert len(want) > 0
+
+    pool = BatchedStreamingPool(
+        s["unity_params"], s["cfg"], s["mono_params"], s["mono_cfg"],
+        s["text_tok"], n_slots=2, mono_quantize_int8=True, **KW)
+    sid = pool.open_session(tgt_lang="eng")
+    drive(pool, {sid: wav})
+    assert pool.session_tokens(sid) == want
+
+
 def test_pool_staggered_sessions(setup):
     """Two concurrent sessions with different audio and staggered arrival
     (B opens two ticks after A) must each match their own single-session
