@@ -39,6 +39,10 @@ def main() -> None:
                              "recommendation; halves decode HBM traffic)")
     parser.add_argument("--no_speech_out", action="store_true",
                         help="skip loading the vocoder (text-output tasks only)")
+    parser.add_argument("--kv_bits", type=int, default=8, choices=[8, 4],
+                        help="self-attention KV cache precision for the "
+                             "offline decode (4 = packed int4: half the "
+                             "per-step KV HBM read again vs int8; lossier)")
     parser.add_argument("--warmup", type=str, default=None,
                         help="comma-separated task:tgt_lang[:src_lang] specs to "
                              "pre-compile before accepting traffic, e.g. "
@@ -82,9 +86,15 @@ def main() -> None:
     if not args.no_speech_out:
         voc_params, voc_cfg, idx_map = load_vocoder(
             args.vocoder_name, local_hf_path=args.local_hf_path)
+    text_opts = None
+    if args.kv_bits != 8:
+        from seamless_communication_tpu.inference.generator import (
+            SequenceGeneratorOptions,
+        )
+        text_opts = SequenceGeneratorOptions(kv_cache_bits=args.kv_bits)
     translator = Translator(params, cfg, text_tok, unit_tok, char_tok,
                             vocoder_params=voc_params, vocoder_cfg=voc_cfg,
-                            lang_spkr_idx_map=idx_map)
+                            lang_spkr_idx_map=idx_map, text_opts=text_opts)
     import threading
 
     if args.warmup:
